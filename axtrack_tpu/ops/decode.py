@@ -1,0 +1,89 @@
+"""YOLO-grid decode, fused with tile->frame stitching.
+
+Reimplements the reference's decode chain (AxonDetections.py:178-248
+``_yolo_Y2pandas_det`` + Timelapse.py:166-197 ``stitch_tiles``) as one jitted
+op: grid-cell offset + rescale + rounding + confidence filter + tile-offset
+addition, emitting a fixed-size top-K detection set (XLA needs static shapes;
+variable detection counts are handled with validity masks).
+
+Grid layout note: the reference reshapes model output to
+``[ntiles, Sx, Sy, 3]`` (model.py:123) where dim 1 indexes the x grid cell
+and dim 2 the y grid cell (AxonDetections.py:197-207); preserved here.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=('tilesize', 'max_dets'))
+def decode_tiled(grids, tile_yx, conf_thr, tilesize, max_dets=512):
+    """Decode tiled YOLO grids into frame-coordinate detections.
+
+    Args:
+      grids: f32[K, Sx, Sy, C] with C>=3: (conf, x_within, y_within[, id]).
+      tile_yx: i32[K, 2] (tile_y, tile_x) grid coordinate of each tile.
+      conf_thr: detections kept when conf >= conf_thr
+        (AxonDetections.py:220).
+      tilesize: tile edge in px.
+      max_dets: static output size; top-``max_dets`` by confidence.
+
+    Returns dict of f32/i32[max_dets]: conf, x, y, ids, valid — sorted by
+    descending confidence (ties broken by tile-major cell order).
+    """
+    K, Sx, Sy, C = grids.shape
+    conf = grids[..., 0]
+    gx = jax.lax.broadcasted_iota(jnp.float32, (K, Sx, Sy), 1)
+    gy = jax.lax.broadcasted_iota(jnp.float32, (K, Sx, Sy), 2)
+    # within-cell (0-1) + cell index, scaled to px, rounded
+    # (AxonDetections.py:200-207)
+    x = jnp.round((grids[..., 1] + gx) * (tilesize / Sx))
+    y = jnp.round((grids[..., 2] + gy) * (tilesize / Sy))
+    # fused stitch: add tile offsets (Timelapse.py:190-192)
+    x = x + tile_yx[:, None, None, 1] * tilesize
+    y = y + tile_yx[:, None, None, 0] * tilesize
+    ids = grids[..., 3] if C > 3 else jnp.zeros_like(conf)
+
+    conf, x, y, ids = (a.reshape(-1) for a in (conf, x, y, ids))
+    valid = conf >= conf_thr
+    score = jnp.where(valid, conf, -jnp.inf)
+    k = min(max_dets, score.shape[0])
+    top_score, top_idx = jax.lax.top_k(score, k)
+    pad = max_dets - k
+    if pad:
+        top_idx = jnp.pad(top_idx, (0, pad))
+        top_score = jnp.pad(top_score, (0, pad), constant_values=-jnp.inf)
+    return {
+        'conf': conf[top_idx],
+        'x': x[top_idx],
+        'y': y[top_idx],
+        'ids': ids[top_idx].astype(jnp.int32),
+        'valid': jnp.isfinite(top_score),
+    }
+
+
+@jax.jit
+def distance_nms(conf, x, y, valid, radius):
+    """Greedy confidence-ordered distance NMS.
+
+    Matches the reference's sequential suppression semantics
+    (AxonDetections.py:250-278): sort by descending confidence, then each
+    surviving detection kills all strictly-lower-ranked detections within
+    ``dist < radius``. Coordinates are integers post-decode, so the strict
+    ``<`` comparison is done on squared integer distances for exactness.
+
+    Inputs must already be sorted by descending conf (decode_tiled output).
+    Returns the updated validity mask.
+    """
+    n = conf.shape[0]
+    r2 = jnp.round(jnp.asarray(radius, jnp.float32) ** 2).astype(jnp.int32)
+    xi = x.astype(jnp.int32)
+    yi = y.astype(jnp.int32)
+    pos = jnp.arange(n)
+
+    def body(i, alive):
+        d2 = (xi - xi[i]) ** 2 + (yi - yi[i]) ** 2
+        kill = alive[i] & alive & (d2 < r2) & (pos > i)
+        return alive & ~kill
+
+    return jax.lax.fori_loop(0, n, body, valid)

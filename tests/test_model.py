@@ -1,0 +1,93 @@
+"""Detector model + loss tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from axtrack_tpu.params import get_default_parameters
+from axtrack_tpu.models.yolo import (build_model, init_variables,
+                                     initial_in_channels, detect_axons)
+from axtrack_tpu.models.loss import yolo_loss, make_loss_fn
+
+
+@pytest.fixture(scope='module')
+def small_params():
+    P = get_default_parameters()
+    # small tile / shallow net for fast tests; same structural spec
+    P['TILESIZE'] = 128
+    P['ARCHITECTURE'] = [
+        [(3, 8, 2, 1), (3, 16, 2, 1), 'M', (3, 16, 1, 1), 'M'],
+        [('FC', 64), ('activation', 'sigmoid')],
+    ]
+    return P
+
+
+class TestModel:
+    def test_forward_shapes(self, small_params):
+        P = small_params
+        model = build_model(P)
+        assert initial_in_channels(P) == 5
+        variables = init_variables(model, P, seed=0)
+        x = jnp.zeros((3, P['TILESIZE'], P['TILESIZE'], 5))
+        out = model.apply(variables, x, train=False)
+        assert out.shape == (3, 12 * 12 * 3)
+        grid = detect_axons(model, variables, x)
+        assert grid.shape == (3, 12, 12, 3)
+
+    def test_full_architecture_geometry(self):
+        """The deployed ARCHITECTURE must reduce 512px tiles to 16x16x160
+        feature maps (conv comments at exp_parameters.py:38-51)."""
+        P = get_default_parameters()
+        model = build_model(P)
+        variables = init_variables(model, P, seed=0)
+        # find the last conv output shape by capturing intermediates
+        x = jnp.zeros((1, 512, 512, 5))
+        out = model.apply(variables, x, train=False)
+        assert out.shape == (1, 432)
+        n_params = sum(np.prod(p.shape) for p in
+                       jax.tree.leaves(variables['params']))
+        # FC1 dominates: 16*16*160*1024 ~ 42M
+        assert 40e6 < n_params < 50e6
+
+    def test_batchnorm_train_updates_stats(self, small_params):
+        P = small_params
+        model = build_model(P)
+        variables = init_variables(model, P, seed=0)
+        x = jnp.asarray(np.random.default_rng(0).random((4, 128, 128, 5)),
+                        jnp.float32)
+        out, mutated = model.apply(variables, x, train=True,
+                                   mutable=['batch_stats'])
+        old = jax.tree.leaves(variables['batch_stats'])
+        new = jax.tree.leaves(mutated['batch_stats'])
+        assert any(not np.allclose(o, n) for o, n in zip(old, new))
+
+
+class TestLoss:
+    def test_components_match_numpy(self, rng):
+        B, S = 2, 12
+        pred = rng.random((B, S * S * 3)).astype(np.float32)
+        target = np.zeros((B, S, S, 4), np.float32)
+        target[0, 3, 4] = [1.0, 0.3, 0.6, 7]
+        target[1, 0, 0] = [1.0, 0.9, 0.1, 2]
+
+        loss, comps = yolo_loss(jnp.asarray(pred), jnp.asarray(target),
+                                S, S, 49.5, 1.0, 49.5)
+        p = pred.reshape(B, S, S, 3)
+        obj = target[..., 0:1]
+        box = ((p[..., 1:3] * obj - target[..., 1:3]) ** 2).sum()
+        objl = ((p[..., 0:1] * obj - obj) ** 2).sum()
+        noobj = ((p[..., 0:1] * (1 - obj)) ** 2).sum()
+        want = (49.5 * box + 49.5 * objl + 1.0 * noobj) / B
+        np.testing.assert_allclose(float(loss), want, rtol=1e-5)
+        np.testing.assert_allclose(float(comps['total_pos_labels_rate']),
+                                   2 / (B * S * S), rtol=1e-6)
+
+    def test_make_loss_fn_and_grads(self, small_params):
+        fn = make_loss_fn(small_params)
+        pred = jnp.ones((2, 432)) * 0.5
+        target = jnp.zeros((2, 12, 12, 4))
+        (loss, comps), grads = jax.value_and_grad(
+            lambda p: fn(p, target), has_aux=True)(pred)
+        assert np.isfinite(float(loss))
+        assert grads.shape == pred.shape
+        assert float(jnp.abs(grads).sum()) > 0
