@@ -1,0 +1,114 @@
+"""Parity tests: JAX geodesic wavefront kernel vs the C++ A* oracle."""
+import numpy as np
+import pytest
+
+from axtrack_tpu import native
+from axtrack_tpu.ops.geodesic import geodesic_pairwise
+
+
+def oracle_pairwise(mask, srcs, tgts, max_dist):
+    wts = np.where(mask, 1.0, 2.0 ** 16).astype(np.float32)
+    d = native.astar_pairwise(wts, srcs, tgts, max_dist).astype(np.float32)
+    d[d < 0] = max_dist
+    return d
+
+
+def random_points(mask, n, rng, on_mask=True):
+    ys, xs = np.where(mask if on_mask else np.ones_like(mask))
+    idx = rng.choice(len(ys), n, replace=False)
+    return np.stack([ys[idx], xs[idx]], -1).astype(np.int32)
+
+
+class TestGeodesicParity:
+    def test_open_grid_is_l1(self, rng):
+        mask = np.ones((64, 64), bool)
+        srcs = random_points(mask, 5, rng)
+        tgts = random_points(mask, 7, rng)
+        D = np.asarray(geodesic_pairwise(mask, srcs, tgts, max_dist=500,
+                                         window=64, max_sweeps=4))
+        l1 = (np.abs(srcs[:, None] - tgts[None]).sum(-1) + 1).astype(np.float32)
+        np.testing.assert_array_equal(D, np.minimum(l1, 500))
+
+    def test_channel_mask_matches_oracle(self, rng):
+        # two horizontal channels joined by one vertical corridor
+        mask = np.zeros((96, 128), bool)
+        mask[10:25, :] = True
+        mask[70:85, :] = True
+        mask[10:85, 60:66] = True
+        srcs = random_points(mask, 8, rng)
+        tgts = random_points(mask, 8, rng)
+        D = np.asarray(geodesic_pairwise(mask, srcs, tgts, max_dist=500,
+                                         window=128, max_sweeps=8))
+        np.testing.assert_array_equal(D, oracle_pairwise(mask, srcs, tgts, 500))
+
+    def test_serpentine_needs_sweeps(self, rng):
+        # snake corridor forcing many direction reversals
+        mask = np.zeros((64, 64), bool)
+        for i, y in enumerate(range(2, 62, 8)):
+            mask[y:y + 4, 2:62] = True
+            if y + 8 < 62:
+                if i % 2 == 0:
+                    mask[y:y + 12, 58:62] = True
+                else:
+                    mask[y:y + 12, 2:6] = True
+        srcs = np.array([[4, 4]], np.int32)
+        tgts = random_points(mask, 10, rng)
+        D = np.asarray(geodesic_pairwise(mask, srcs, tgts, max_dist=500,
+                                         window=64, max_sweeps=16))
+        np.testing.assert_array_equal(D, oracle_pairwise(mask, srcs, tgts, 500))
+
+    def test_unreachable_and_cap(self, rng):
+        mask = np.ones((64, 64), bool)
+        mask[:, 30:34] = False          # full wall
+        srcs = np.array([[32, 5]], np.int32)
+        tgts = np.array([[32, 60], [32, 6]], np.int32)
+        D = np.asarray(geodesic_pairwise(mask, srcs, tgts, max_dist=500,
+                                         window=64))
+        assert D[0, 0] == 500           # unreachable -> cap
+        assert D[0, 1] == 2             # neighbor: two nodes
+
+    def test_off_mask_source_seeds_neighbors(self):
+        """A* ignores the start cell's weight — a detection just outside the
+        mask still reaches in-mask targets (see astar.cpp contract)."""
+        mask = np.ones((32, 32), bool)
+        mask[10, 10] = False
+        srcs = np.array([[10, 10]], np.int32)
+        tgts = np.array([[10, 12]], np.int32)
+        D = np.asarray(geodesic_pairwise(mask, srcs, tgts, max_dist=500,
+                                         window=32))
+        want = oracle_pairwise(mask, srcs, tgts, 500)
+        np.testing.assert_array_equal(D, want)
+        assert D[0, 0] == 3
+
+    def test_off_mask_target_unreachable(self):
+        mask = np.ones((32, 32), bool)
+        mask[20, 20] = False
+        D = np.asarray(geodesic_pairwise(
+            mask, np.array([[5, 5]], np.int32),
+            np.array([[20, 20]], np.int32), max_dist=500, window=32))
+        assert D[0, 0] == 500
+
+    def test_windowing_on_large_frame(self, rng):
+        """Window smaller than frame: far-apart sources get correct local
+        distances; beyond-window targets collapse to the cap."""
+        mask = np.ones((256, 512), bool)
+        mask[100:140, :] = False
+        mask[100:140, 250:260] = True       # corridor
+        srcs = np.array([[50, 250], [200, 250]], np.int32)
+        tgts = np.array([[50, 260], [200, 260], [50, 251]], np.int32)
+        D = np.asarray(geodesic_pairwise(mask, srcs, tgts, max_dist=200,
+                                         window=256, max_sweeps=8))
+        want = oracle_pairwise(mask, srcs, tgts, 200)
+        np.testing.assert_array_equal(D, want)
+
+    @pytest.mark.parametrize('seed', [1, 2, 3])
+    def test_random_blob_masks(self, seed):
+        rng = np.random.default_rng(seed)
+        mask = rng.random((80, 80)) > 0.35
+        # ensure some connectivity
+        mask[40, :] = True
+        srcs = random_points(mask, 6, rng)
+        tgts = random_points(mask, 6, rng)
+        D = np.asarray(geodesic_pairwise(mask, srcs, tgts, max_dist=300,
+                                         window=80, max_sweeps=40))
+        np.testing.assert_array_equal(D, oracle_pairwise(mask, srcs, tgts, 300))

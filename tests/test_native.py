@@ -1,0 +1,177 @@
+"""Tests of the native C++ A* oracle and MCF solver."""
+import numpy as np
+import pytest
+
+from axtrack_tpu import native
+
+
+def make_weights(h, w, mask=None):
+    wts = np.full((h, w), 2.0 ** 16, np.float32)
+    if mask is None:
+        wts[:] = 1.0
+    else:
+        wts[mask] = 1.0
+    return wts
+
+
+class TestAstar:
+    def test_straight_line(self):
+        wts = make_weights(20, 20)
+        path = native.astar_path(wts, (5, 5), (5, 15), 100)
+        assert path is not None
+        assert len(path) == 11                   # node count incl. endpoints
+        assert tuple(path[0]) == (5, 5) and tuple(path[-1]) == (5, 15)
+
+    def test_l1_distance_on_open_grid(self):
+        wts = make_weights(30, 30)
+        path = native.astar_path(wts, (2, 3), (20, 25), 1000)
+        assert len(path) == abs(20 - 2) + abs(25 - 3) + 1
+
+    def test_wall_detour(self):
+        mask = np.ones((20, 20), bool)
+        mask[5:15, 10] = False                   # vertical wall with gap at top
+        wts = make_weights(20, 20, mask)
+        path = native.astar_path(wts, (10, 5), (10, 15), 1000)
+        # around the wall: must pass through y<5 or y>=15
+        ys = path[:, 0]
+        assert (ys < 5).any() or (ys >= 15).any()
+        # shortest detour via y=15: down 5 + right 10 + up 5 = 20 steps
+        assert len(path) == 21
+
+    def test_unreachable_blocked(self):
+        mask = np.ones((10, 10), bool)
+        mask[:, 5] = False
+        wts = make_weights(10, 10, mask)
+        assert native.astar_path(wts, (5, 2), (5, 8), 1000) is None
+
+    def test_max_path_length_cap(self):
+        wts = make_weights(20, 20)
+        assert native.astar_path(wts, (0, 0), (19, 19), 10) is None
+        assert native.astar_path(wts, (0, 0), (19, 19), 38) is not None
+
+    def test_pairwise_matches_single(self, rng):
+        mask = np.ones((40, 60), bool)
+        mask[10:30, 20] = False
+        mask[0:25, 40] = False
+        wts = make_weights(40, 60, mask)
+        pts = []
+        while len(pts) < 8:
+            y, x = rng.integers(0, 40), rng.integers(0, 60)
+            if mask[y, x]:
+                pts.append((y, x))
+        pts = np.array(pts, np.int32)
+        D = native.astar_pairwise(wts, pts[:4], pts[4:], 500)
+        for i in range(4):
+            for j in range(4):
+                p = native.astar_path(wts, pts[i], pts[4 + j], 500)
+                want = -1 if p is None else len(p)
+                assert D[i, j] == want, (i, j)
+
+    def test_pairwise_symmetric(self, rng):
+        mask = np.ones((30, 30), bool)
+        mask[5:25, 15] = False
+        wts = make_weights(30, 30, mask)
+        pts = np.array([[2, 2], [28, 28], [2, 28], [15, 5]], np.int32)
+        D1 = native.astar_pairwise(wts, pts, pts, 500)
+        assert (D1 == D1.T).all()
+        assert (np.diag(D1) == 1).all()          # self-path = 1 node
+
+
+class TestMCF:
+    def _simple_graph(self):
+        """2 frames x 2 dets; det i at frame 0 matches det i at frame 1."""
+        # nodes: u0,v0,u1,v1 (frame0), u2,v2,u3,v3 (frame1), src=8, snk=9
+        edges = []     # (from, to, cost)
+        for i in range(4):
+            edges.append((2 * i, 2 * i + 1, -1.0))      # obs: confident
+            edges.append((8, 2 * i, 0.5))               # entry
+            edges.append((2 * i + 1, 9, 0.5))           # exit
+        # transitions: good matches cheap, cross matches expensive
+        edges.append((1, 4, 0.1))   # v0 -> u2
+        edges.append((3, 6, 0.1))   # v1 -> u3
+        edges.append((1, 6, 3.0))
+        edges.append((3, 4, 3.0))
+        ef, et, ec = zip(*edges)
+        return 10, np.array(ef), np.array(et), np.array(ec), edges
+
+    def test_two_track_solution(self):
+        n, ef, et, ec, edges = self._simple_graph()
+        f, flow, cost = native.solve_tracking_mcf(n, ef, et, ec, 1, 10)
+        assert f == 2
+        # both cheap transitions used, no expensive ones
+        used = {edges[i][:2] for i in range(len(edges)) if flow[i]}
+        assert (1, 4) in used and (3, 6) in used
+        assert (1, 6) not in used and (3, 4) not in used
+        # cost: 4 obs(-1) + 2 entry + 2 exit (0.5 each) + 2 trans(0.1)
+        np.testing.assert_allclose(cost, -4 + 2.0 + 0.2, atol=1e-5)
+
+    def test_min_flow_forced(self):
+        """min_flow can force positive-marginal-cost tracks."""
+        n, ef, et, ec, edges = self._simple_graph()
+        # make detections unattractive: obs cost +1 -> any track costs >0
+        ec2 = ec.copy()
+        ec2[ec2 == -1.0] = 1.0
+        f, flow, cost = native.solve_tracking_mcf(n, ef, et, ec2, 2, 10)
+        assert f == 2
+        assert cost > 0
+        f0, _, _ = native.solve_tracking_mcf(n, ef, et, ec2, 0, 10)
+        assert f0 == 0                           # unforced: cheaper to do nothing
+
+    def test_infeasible_min_flow(self):
+        n, ef, et, ec, _ = self._simple_graph()
+        f, flow, cost = native.solve_tracking_mcf(n, ef, et, ec, 5, 10)
+        assert f is None and flow is None
+
+    def test_gap_skip_edge(self):
+        """A detection missing in the middle frame links across the gap."""
+        # frames: 0 has det0, 1 has nothing, 2 has det1
+        # nodes u0=0,v0=1,u1=2,v1=3, src=4,snk=5
+        edges = [(0, 1, -2.0), (2, 3, -2.0),
+                 (4, 0, 1.0), (1, 5, 1.0),
+                 (4, 2, 1.0), (3, 5, 1.0),
+                 (1, 2, 0.3)]                    # gap-2 transition
+        ef, et, ec = (np.array(z) for z in zip(*edges))
+        f, flow, cost = native.solve_tracking_mcf(6, ef, et, ec, 0, 10)
+        assert f == 1
+        assert flow[6] == 1                      # transition used
+        np.testing.assert_allclose(cost, -4 + 2 + 0.3, atol=1e-5)
+
+    def test_against_lap_bruteforce(self, rng):
+        """Two-frame graphs reduce to a LAP with split options; the MCF
+        optimum must match scipy's linear_sum_assignment."""
+        from scipy.optimize import linear_sum_assignment
+        for trial in range(5):
+            nA, nB = 4, 5
+            C = (rng.random((nA, nB)) * 2 - 0.5).round(3)
+            big = 10.0
+            src, snk = 2 * (nA + nB), 2 * (nA + nB) + 1
+            edges = []
+            for i in range(nA):                          # frame-A dets
+                edges.append((2 * i, 2 * i + 1, -big))
+                edges.append((src, 2 * i, 0.0))          # entry
+                edges.append((2 * i + 1, snk, 1.0))      # exit (split cost)
+            for j in range(nB):                          # frame-B dets
+                u = 2 * nA + 2 * j
+                edges.append((u, u + 1, -big))
+                edges.append((src, u, 1.0))              # entry (split cost)
+                edges.append((u + 1, snk, 0.0))          # exit
+            for i in range(nA):
+                for j in range(nB):
+                    edges.append((2 * i + 1, 2 * nA + 2 * j, float(C[i, j])))
+            ef, et, ec = (np.array(z) for z in zip(*edges))
+            f, flow, cost = native.solve_tracking_mcf(
+                2 * (nA + nB) + 2, ef, et, ec, 0, nA + nB)
+            # all dets covered (obs reward dominates); pairing i-j merges
+            # two tracks, so f = nA + nB - n_pairs
+            n_pairs = sum(flow[len(flow) - nA * nB:])
+            assert f == nA + nB - n_pairs
+            # LAP equivalent: pair cost C[i,j], split costs 1.0 + 1.0
+            M = np.zeros((nA + nB, nA + nB))
+            M[:nA, :nB] = C
+            M[:nA, nB:] = 1e6
+            M[nA:, :nB] = 1e6
+            M[np.arange(nA), nB + np.arange(nA)] = 1.0   # A_i unmatched
+            M[nA + np.arange(nB), np.arange(nB)] = 1.0   # B_j unmatched
+            ri, ci = linear_sum_assignment(M)
+            best = -big * (nA + nB) + M[ri, ci].sum()
+            np.testing.assert_allclose(cost, best, atol=1e-4)
