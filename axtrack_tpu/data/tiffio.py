@@ -49,9 +49,6 @@ def write_tiff(path, stack):
     if np.issubdtype(stack.dtype, np.floating):
         stack = np.clip(stack, 0.0, 1.0)
         stack = (stack * 65535.0 + 0.5).astype(np.uint16)
-    if stack.dtype == np.uint16:
-        pages = [Image.fromarray(f, mode='I;16') for f in stack]
-    else:
-        pages = [Image.fromarray(f) for f in stack]
+    pages = [Image.fromarray(f) for f in stack]
     pages[0].save(path, save_all=True, append_images=pages[1:],
                   compression=None)

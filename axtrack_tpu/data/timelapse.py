@@ -1,0 +1,410 @@
+"""Timelapse dataset — the preprocessing + tiling data layer.
+
+TPU-native rebuild of reference axtrack/Timelapse.py:22-566. Key design
+departures (all TPU-first, same observable behavior):
+
+- Dense ``f32[T, H, W]`` frames instead of per-frame scipy-COO lists
+  (reference Timelapse.py:265-275 sparsifies only to fit host RAM; TPUs want
+  dense HBM arrays). ``use_sparse`` is accepted for API parity.
+- The whole preprocess chain (mask/offset/clip/log/standardize) is one fused
+  jitted program (ops/preproc.py) instead of per-frame host numpy.
+- Tiling is pad+reshape on device (ops/tiling.py) instead of Python loops
+  over torch.split; the non-empty-tile filter becomes a gather index.
+- YOLO targets are built by a jitted scatter (ops/targets.py) instead of the
+  sparse-tensor trick.
+
+Public surface preserved: __getitem__/__len__, construct_tiles,
+get_frametiles_stack, stitch_tiles, tiled_target2yolo_format, fold/unfold
+index math, plot_data capture, whole-object pickle caching ('to'/'from').
+"""
+import os
+import pickle
+
+import numpy as np
+import pandas as pd
+import jax.numpy as jnp
+
+from .tiffio import read_tiff
+from .augment import apply_transformations
+from ..ops import preproc as P
+from ..ops import tiling as TL
+from ..ops.targets import labels_to_yolo_grid, frame_labels_from_dataframe
+
+
+class Timelapse:
+    def __init__(self, imseq_path, labels_csv, mask_path, timepoints, offset,
+                 log_correct, standardize_framewise, standardize, name,
+                 use_motion_filtered='exclude', use_sparse=False,
+                 use_transforms=(), contrast_llim=None, plot=False, pad=None,
+                 Sy=12, Sx=12, tilesize=512, cache=None, from_cache=None,
+                 temporal_context=2, notes=None, pixelsize=None, dt=None,
+                 incubation_time=None, seeding_datetime=None):
+        self.name = name
+        print(f'Data: {name}')
+        self.transform_configs = dict.fromkeys(use_transforms or (), 0)
+        self._rng = np.random.default_rng()
+
+        if from_cache:
+            self._load_cache(from_cache)
+            return
+
+        self.plot_data = {}
+        # metadata (reference Timelapse.py:40-45)
+        self.dt = dt
+        self.incubation_time = incubation_time
+        self.seeding_datetime = seeding_datetime
+        self.pixelsize = pixelsize
+        self.notes = notes
+
+        self.timepoints = timepoints
+        self.pad = pad
+        self.use_sparse = use_sparse
+        self.use_motion_filtered = use_motion_filtered
+        self.temporal_context = temporal_context
+        self.motion_gaussian_filter_std = 3
+        self.motion_lowerlim = .1
+
+        self.Sy, self.Sx = Sy, Sx
+        self.tilesize = tilesize
+
+        frames, mask = self._read_tiff(imseq_path, mask_path, offset, plot)
+        self.sizet, self.sizey, self.sizex = frames.shape
+        self.size_chnls, self.size_colchnls = self._get_channelsizes()
+        self.xtiles = TL.n_tiles(self.sizex, tilesize)
+        self.ytiles = TL.n_tiles(self.sizey, tilesize)
+
+        frames, self.stnd_scaler = self._preprocess(
+            frames, mask, contrast_llim, log_correct, standardize,
+            standardize_framewise, cache, plot)
+
+        self.mask = mask
+        self.p_motion_seq, self.n_motion_seq = self._compute_motion(
+            frames, standardize, plot)
+
+        self.target = self._load_bboxes(labels_csv)
+        (self.timepoints_indices, self.sizet, self.target, frames
+         ) = self._slice_timepoints(frames)
+
+        # X: dense frames incl. temporal-context neighbors, host numpy
+        # (device placement happens at construct_tiles / batch time)
+        self.X = frames
+
+        self.X_tiled, self.target_tiled, self.tile_info = None, None, None
+        self._tile_flat_idx, self._tile_yx = None, None
+
+        if cache:
+            self._save_cache(cache)
+
+    # ------------------------------------------------------------------ io
+    def _read_tiff(self, path, mask_path, offset, plot):
+        """Read + mask + offset + pad (reference Timelapse.py:205-243)."""
+        print('Loading .tif image...', end='', flush=True)
+        imseq = read_tiff(path)
+
+        print('masking...', end='', flush=True)
+        if mask_path and not str(mask_path).endswith('None'):
+            mask = np.load(mask_path).astype(bool)
+        else:
+            mask = np.ones(imseq.shape[1:], bool)
+        if mask.ndim == 3:       # reference stacks one mask per frame
+            mask = mask[0]
+        imseq[:, ~mask] = 0
+
+        if offset:
+            offset = offset / 2 ** 16 if isinstance(offset, int) else offset
+            print(f'offsetting by {offset:.4f} (0-1)...', end='', flush=True)
+            imseq = np.maximum(imseq - offset, 0)
+        if self.pad is not None and any(self.pad):
+            print('padding...', end='', flush=True)
+            top, right, bottom, left = self.pad
+            imseq = np.pad(imseq, ((0, 0), (top, bottom), (left, right)))
+            mask = np.pad(mask, ((top, bottom), (left, right)))
+
+        if self.timepoints is None:
+            self.timepoints = list(range(self.temporal_context,
+                                         imseq.shape[0] - self.temporal_context))
+        else:
+            self.timepoints = list(self.timepoints)
+        if plot:
+            self.plot_data['Original'] = (imseq[self.timepoints[0]].copy(),
+                                          imseq[self.timepoints[-1]].copy())
+        print('Done.')
+        return imseq, mask
+
+    def _preprocess(self, frames, mask, contrast_llim, log_correct,
+                    standardize, standardize_framewise, cache, plot):
+        """Fused clip/log/standardize chain (reference Timelapse.py:245-326).
+        Runs stepwise only when plot_data capture is requested."""
+        x = jnp.asarray(frames)
+        lower = 0.0
+        if contrast_llim:
+            lower = (contrast_llim / 2 ** 16 if isinstance(contrast_llim, int)
+                     else contrast_llim)
+
+        def capture(lbl, arr):
+            if plot:
+                a = np.asarray(arr)
+                self.plot_data[lbl] = (a[self.timepoints[0]].copy(),
+                                       a[self.timepoints[-1]].copy())
+
+        if lower:
+            x = jnp.where(x < lower, 0.0, x)
+            print(f'Image clipped to min value: {lower:.4f} (0-1)')
+        capture('Clipped', x)
+        if log_correct:
+            x = P.adjust_log(x)
+            capture('Log-Adjusted', x)
+
+        stnd_scaler = (None, None)
+        mode = standardize[0] if isinstance(standardize, (tuple, list)) \
+            else standardize
+        if mode:
+            print(f'Standardizing image values ({mode})...', end='', flush=True)
+            passed = standardize[1] if isinstance(standardize, (tuple, list)) \
+                else None
+            if passed is not None and not standardize_framewise:
+                var_scalar, mean_scalar = passed
+                x = x / var_scalar
+                stnd_scaler = (mode, (float(var_scalar), float(mean_scalar)))
+                print('using passed scalers...', end='')
+            elif standardize_framewise:
+                mean, std, mx = P.nonzero_stats(x)
+                per_frame = std if mode == 'zscore' else mx
+                x = x / per_frame[:, None, None]
+                stnd_scaler = (mode, None)
+            else:
+                var_scalar, mean_scalar = P.compute_stnd_scaler(x, mode)
+                x = x / var_scalar
+                stnd_scaler = (mode, (var_scalar, mean_scalar))
+            capture(f'Standardized (frame-wize: {standardize_framewise})', x)
+
+        if cache and 'train' in (self.name or ''):
+            fname = f'{cache}/{self.name}_stnd_scaler.pkl'
+            with open(fname, 'wb') as file:
+                print('writing standardization scaler to file...', end='')
+                pickle.dump(stnd_scaler, file)
+        print('Done.')
+        return np.asarray(x), stnd_scaler
+
+    def _compute_motion(self, frames, standardize, plot):
+        """Motion channels (deprecated path, reference Timelapse.py:328-368).
+        Returns (pos, neg) [T, H, W] or (None, None) when excluded."""
+        if self.use_motion_filtered == 'exclude':
+            return None, None
+        pos, neg = P.motion_frames(jnp.asarray(frames),
+                                   sigma=self.motion_gaussian_filter_std,
+                                   lowerlim=self.motion_lowerlim)
+        if standardize:
+            _, pstd, _ = P.nonzero_stats(pos[1:])
+            _, nstd, _ = P.nonzero_stats(neg[1:])
+            pos = pos / jnp.mean(pstd)
+            neg = neg / jnp.mean(nstd)
+        if plot:
+            t0, tn1 = self.timepoints[0], self.timepoints[-1]
+            self.plot_data['Positive Motion'] = (np.asarray(pos[t0]),
+                                                 np.asarray(pos[tn1]))
+            self.plot_data['Negative Motion'] = (np.asarray(neg[t0]),
+                                                 np.asarray(neg[tn1]))
+        return np.asarray(pos), np.asarray(neg)
+
+    def _load_bboxes(self, labels_csv):
+        """Label DataFrame (reference Timelapse.py:370-384)."""
+        if labels_csv is None:
+            cols = pd.MultiIndex.from_product(
+                [['Ax-00'], ['anchor_y', 'anchor_x']], names=('axon', 'prop'))
+            return pd.DataFrame([], index=range(self.sizet), columns=cols)
+        bboxes = pd.read_csv(labels_csv, index_col=0, header=[0, 1])
+        bboxes = bboxes.loc[:, (slice(None), ['anchor_x', 'anchor_y'])
+                            ].sort_index()
+        bboxes = bboxes.reset_index(drop=True)
+        if self.pad and (self.pad[0] or self.pad[3]):
+            bboxes.loc[:, (slice(None), 'anchor_y')] += self.pad[0]
+            bboxes.loc[:, (slice(None), 'anchor_x')] += self.pad[3]
+        return bboxes
+
+    def _slice_timepoints(self, frames):
+        """Slice to requested timepoints + context neighbors
+        (reference Timelapse.py:386-413)."""
+        tps = self.timepoints
+        print(f'Slicing timepoints to t={tps} (n={len(tps)})')
+        self.t_discontinuities = [i for i in range(1, len(tps))
+                                  if tps[i] != tps[i - 1] + 1]
+        if self.temporal_context:
+            ext = set()
+            for t in tps:
+                for tpad in range(1, self.temporal_context + 1):
+                    ext.update((t - tpad, t, t + tpad))
+            all_tps = sorted(ext)
+        else:
+            all_tps = list(tps)
+        timepoints_indices = [all_tps.index(tp) for tp in tps]
+
+        frames = frames[all_tps]
+        if self.p_motion_seq is not None:
+            self.p_motion_seq = self.p_motion_seq[all_tps]
+            self.n_motion_seq = self.n_motion_seq[all_tps]
+        target = self.target.iloc[all_tps]
+        return timepoints_indices, len(tps), target, frames
+
+    # ------------------------------------------------------------ caching
+    _CACHE_SKIP = ('_rng',)
+
+    def _save_cache(self, cache):
+        with open(f'{cache}/{self.name}_dataset_cached.pkl', 'wb') as file:
+            print('Serializing dataset for caching', end='...')
+            state = {k: v for k, v in self.__dict__.items()
+                     if k not in self._CACHE_SKIP}
+            pickle.dump(state, file, protocol=4)
+        print('Done.\n', flush=True)
+
+    def _load_cache(self, from_cache):
+        print('Loading dataset from cache', end='...', flush=True)
+        dataset_file = f'{from_cache}/{self.name}_dataset_cached.pkl'
+        assert os.path.exists(dataset_file), \
+            f'\n\nNo cached dataset found: {dataset_file}'
+        with open(dataset_file, 'rb') as file:
+            cached = pickle.load(file)
+        for n, v in cached.items():
+            setattr(self, n, v)
+        print('Done.\n', flush=True)
+
+    # ----------------------------------------------------------- tiling
+    def construct_tiles(self, device=None, force_no_transformation=False):
+        """Build X_tiled / target_tiled / tile_info for the current epoch
+        (reference Timelapse.py:492-566). Augmentation redraws each call."""
+        X = jnp.asarray(self.X)
+        target = self.target
+        if self.transform_configs and not force_no_transformation:
+            X, target, cfg = apply_transformations(
+                self.transform_configs, X, target, self.sizey, self.sizex,
+                self._rng)
+            print(f'New transform config set: {cfg}')
+        print(f'Tiling {self.name} data...', end='', flush=True)
+
+        ts = self.tilesize
+        tiles = TL.tile_frames(X, ts)                    # [T_all, ny, nx, ts, ts]
+        keep = TL.nonempty_tile_mask(np.asarray(tiles))
+        if not keep.any():
+            keep[0, 0] = True                            # degenerate all-empty
+        self._tile_flat_idx, self._tile_yx = TL.tile_index_table(keep)
+        K = len(self._tile_flat_idx)
+        T_all = tiles.shape[0]
+        flat = tiles.reshape(T_all, self.ytiles * self.xtiles, ts, ts)
+        self.X_tiled = np.asarray(flat[:, self._tile_flat_idx])
+
+        # targets: scatter anchors into the YOLO grid, then gather kept tiles
+        anchors_yx, axon_ids, t_idx, valid = frame_labels_from_dataframe(
+            target, T_all)
+        grid = labels_to_yolo_grid(
+            jnp.asarray(anchors_yx), jnp.asarray(axon_ids),
+            jnp.asarray(t_idx), jnp.asarray(valid),
+            ny=self.ytiles, nx=self.xtiles, Sy=self.Sy, Sx=self.Sx,
+            tilesize=ts, n_frames=T_all)
+        grid = grid.reshape(T_all, self.ytiles * self.xtiles,
+                            self.Sx, self.Sy, 4)
+        self.target_tiled = np.asarray(grid[:, self._tile_flat_idx])
+
+        # tile_info [ny, nx, T_all, 2]: (non_empty, n_pos_labels) — shape
+        # parity with reference Timelapse.py:551-553
+        non_empty = np.asarray((tiles > 0).any(axis=(3, 4)))      # [T, ny, nx]
+        non_empty = np.moveaxis(non_empty, 0, -1)                 # [ny, nx, T]
+        npos = np.zeros_like(non_empty, dtype=np.float32)
+        npos_k = self.target_tiled[..., 0].sum((-1, -2))          # [T, K]
+        for i, fi in enumerate(self._tile_flat_idx):
+            ty, tx = divmod(int(fi), self.xtiles)
+            npos[ty, tx] = npos_k[:, i]
+        self.tile_info = np.stack([non_empty.astype(np.float32), npos], -1)
+        print('Done.', flush=True)
+
+    # ------------------------------------------------- dataset interface
+    def __len__(self):
+        assert self.X_tiled is not None, \
+            'No tiles yet. Run dataset.construct_tiles() before iterating.'
+        return self.sizet * self.X_tiled.shape[1]
+
+    def unfold_idx(self, idx):
+        return divmod(idx, self.X_tiled.shape[1])
+
+    def fold_idx(self, idx):
+        t_idx, tile_idx = idx
+        return t_idx * self.X_tiled.shape[1] + tile_idx
+
+    def flat_tile_idx2yx_tile_idx(self, tile_idx):
+        fi = int(self._tile_flat_idx[tile_idx])
+        return divmod(fi, self.xtiles)
+
+    def __getitem__(self, idx):
+        """(X [ts, ts, C] NHWC float32, target [Sx, Sy, 4]) for one
+        (timepoint, tile) pair (reference Timelapse.py:111-125)."""
+        t_idx, tile_idx = self.unfold_idx(idx)
+        t_all = self.timepoints_indices[t_idx]
+        tc = self.temporal_context
+        X = self.X_tiled[t_all - tc:t_all + tc + 1, tile_idx]   # [C, ts, ts]
+        X = np.moveaxis(X, 0, -1)                               # NHWC
+        return X, self.target_tiled[t_all, tile_idx]
+
+    def get_frametiles_stack(self, timepoint, device=None):
+        """All tiles of one frame: (f32[K, ts, ts, C], f32[K, Sx, Sy, 4])
+        (reference Timelapse.py:150-157). Returns jnp arrays."""
+        t_all = self.timepoints_indices[timepoint]
+        tc = self.temporal_context
+        X = self.X_tiled[t_all - tc:t_all + tc + 1]             # [C, K, ts, ts]
+        X = np.moveaxis(X, 0, -1)                               # [K, ts, ts, C]
+        return jnp.asarray(X), jnp.asarray(self.target_tiled[t_all])
+
+    def get_frame_image(self, timepoint):
+        """Full processed frame f32[H, W] (the reference reconstructs this
+        by stitching tiles, Timelapse.py:166-197; we kept the frames)."""
+        t_all = self.timepoints_indices[timepoint]
+        return self.X[t_all]
+
+    def stitch_tiles(self, pd_tiled_det, img_tiled=None, reset_index=False):
+        """Merge per-tile detection DataFrames into frame coordinates
+        (API parity with reference Timelapse.py:166-197; the main detection
+        path fuses this into decode_tiled)."""
+        ts = self.tilesize
+        pd_det = []
+        for tile_i, tile_det in enumerate(pd_tiled_det):
+            det = tile_det.copy()
+            ty, tx = self.flat_tile_idx2yx_tile_idx(tile_i)
+            det['anchor_y'] = det['anchor_y'] + ty * ts
+            det['anchor_x'] = det['anchor_x'] + tx * ts
+            pd_det.append(det)
+        pd_det = pd.concat(pd_det)
+        img = None
+        if img_tiled is not None:
+            img = np.zeros((self.sizey, self.sizex), np.float32)
+            for tile_i in range(len(pd_tiled_det)):
+                ty, tx = self.flat_tile_idx2yx_tile_idx(tile_i)
+                ys = slice(ts * ty, min(ts * (ty + 1), self.sizey))
+                xs = slice(ts * tx, min(ts * (tx + 1), self.sizex))
+                tile_img = np.asarray(img_tiled[tile_i])
+                if tile_img.ndim == 3:      # NHWC tile: center channel
+                    tile_img = tile_img[..., tile_img.shape[-1] // 2]
+                img[ys, xs] = tile_img[:ys.stop - ys.start, :xs.stop - xs.start]
+        if reset_index:
+            pd_det.index = [f'Axon_{i:0>3}' for i in range(len(pd_det))]
+        return pd_det, img
+
+    def tiled_target2yolo_format(self, target_tiled=None):
+        """Kept for API parity: the YOLO grid construction now lives in
+        ops/targets.labels_to_yolo_grid (reference Timelapse.py:451-490)."""
+        raise NotImplementedError(
+            'use ops.targets.labels_to_yolo_grid (called by construct_tiles)')
+
+    def get_tcenter_idx(self):
+        return list(range(self.temporal_context * self.size_colchnls,
+                          (self.temporal_context + 1) * self.size_colchnls))
+
+    def get_DIV_point(self, t, to_str=True):
+        """Days-in-vitro label for frame t (reference Timelapse.py:159-164)."""
+        total_min = (self.incubation_time or 0) + (self.dt or 0) * t
+        days, rem = divmod(int(total_min), 24 * 60)
+        hours = rem // 60
+        if to_str:
+            return f'{days} days - {hours} hours'
+        return total_min
+
+    def _get_channelsizes(self):
+        ncol = {'exclude': 1, 'only': 2, 'include': 3}[self.use_motion_filtered]
+        return (self.temporal_context * 2 + 1) * ncol, ncol

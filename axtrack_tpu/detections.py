@@ -1,0 +1,536 @@
+"""AxonDetections — detection + association core.
+
+TPU-native rebuild of reference axtrack/AxonDetections.py:17-922. The public
+surface (detect_dataset / assign_ids / get_frame_dets / compute_TP_FP_FN /
+compute_prc_rcl_F1 / search_MCF_params / IDed_dets_all, tri-state caches) is
+preserved; internals are redesigned:
+
+- the frame loop body (tiles -> CNN -> decode -> NMS) is one jitted program
+  reused across frames (reference: per-frame python/pandas pipeline,
+  AxonDetections.py:111-133)
+- A* thread fan-out (AxonDetections.py:526-585) is replaced by the batched
+  geodesic wavefront kernel: per frame one launch computes the distance maps
+  of all its detections, read out by both lookback pairs
+- libmot/OR-Tools is replaced by the native SSP min-cost-flow
+  (track/tracker.py)
+
+Spec deviation (intended-semantics fix, SURVEY.md §7 hard part 5): the
+reference sets ``self.labelled = dataset.target.empty`` — inverted; here
+``labelled`` is True iff ground-truth labels exist.
+"""
+import os
+from functools import partial
+
+import numpy as np
+import pandas as pd
+import jax
+import jax.numpy as jnp
+
+from .ops.decode import decode_tiled, distance_nms
+from .ops import geodesic as G
+from .models.yolo import detect_axons
+from .track import tracker
+from .track import costs as TC
+from .utils.caching import StageCache
+
+MAX_DETS_PER_FRAME = 1024
+
+
+class AxonDetections:
+    """Bundles model inference output to data input (reference
+    AxonDetections.py:17-79)."""
+
+    def __init__(self, model, dataset, parameters, directory,
+                 timepoint_subset=None):
+        self.model = model          # (flax module, variables) tuple or Model
+        self.dataset = dataset
+        self.name = dataset.name
+        self.dir = directory
+        if self.dir:
+            os.makedirs(self.dir, exist_ok=True)
+        self._cache = StageCache(self.dir, prefix=dataset.name)
+
+        self.timepoint_subset = (list(timepoint_subset)
+                                 if timepoint_subset is not None
+                                 else list(range(dataset.sizet)))
+
+        self.device = parameters.get('DEVICE')
+        self.Sx = parameters['SX']
+        self.Sy = parameters['SY']
+        self.tilesize = parameters['TILESIZE']
+
+        self.MCF_edge_cost_thr = parameters['MCF_EDGE_COST_THR']
+        self.MCF_entry_exit_cost = parameters['MCF_ENTRY_EXIT_COST']
+        self.MCF_miss_rate = parameters['MCF_MISS_RATE']
+        self.MCF_max_num_misses = parameters['MCF_MAX_NUM_MISSES']
+        self.MCF_min_flow = parameters['MCF_MIN_FLOW']
+        self.MCF_max_flow = parameters['MCF_MAX_FLOW']
+        self.MCF_max_conf_cost = parameters['MCF_MAX_CONF_COST']
+        self.MCF_vis_sim_weight = parameters['MCF_VIS_SIM_WEIGHT']
+        self.MCF_conf_capping_method = parameters['MCF_CONF_CAPPING_METHOD']
+
+        self.nms_min_dist = parameters.get('NON_MAX_SUPRESSION_DIST')
+        self.conf_thr = parameters['BBOX_THRESHOLD']
+        self.all_conf_thrs = np.sort(np.append(
+            np.arange(0.55, 1, .04), self.conf_thr)).round(2)
+        self.max_px_assoc_dist = 500
+        self.axon_box_size = 70
+        # intended semantics of reference AxonDetections.py:79 (see module doc)
+        self.labelled = bool(dataset.target.notna().any().any())
+
+    def __len__(self):
+        return len(self.timepoint_subset)
+
+    # ------------------------------------------------------------- detect
+    def _mcf_params(self):
+        return {'MCF_EDGE_COST_THR': self.MCF_edge_cost_thr,
+                'MCF_ENTRY_EXIT_COST': self.MCF_entry_exit_cost,
+                'MCF_MISS_RATE': self.MCF_miss_rate,
+                'MCF_MAX_NUM_MISSES': self.MCF_max_num_misses,
+                'MCF_MIN_FLOW': self.MCF_min_flow,
+                'MCF_MAX_FLOW': self.MCF_max_flow,
+                'MCF_MAX_CONF_COST': self.MCF_max_conf_cost,
+                'MCF_VIS_SIM_WEIGHT': self.MCF_vis_sim_weight,
+                'MCF_CONF_CAPPING_METHOD': self.MCF_conf_capping_method}
+
+    def _infer_grid(self, t, X):
+        """Produce the YOLO grid for one frame's tile stack. ``self.model``
+        is either (flax module, variables) — the jitted CNN path — or any
+        callable ``f(t, X) -> grid`` (e.g. an oracle detector in tests)."""
+        if isinstance(self.model, tuple):
+            if not hasattr(self, '_jit_cnn'):
+                model, variables = self.model
+                self._jit_cnn = jax.jit(
+                    lambda X: detect_axons(model, variables, X))
+            return self._jit_cnn(X)
+        return self.model(t, X)
+
+    def _postprocess(self, grid, tile_yx, conf_thr):
+        """Jitted decode(+stitch) -> NMS, compiled once for all frames."""
+        dets = decode_tiled(grid, tile_yx, conf_thr, self.tilesize,
+                            max_dets=MAX_DETS_PER_FRAME)
+        alive = distance_nms(dets['conf'], dets['x'], dets['y'],
+                             dets['valid'], self.nms_min_dist)
+        return dets, alive
+
+    def detect_dataset(self, cache=None):
+        """Run the detector over all frames (reference
+        AxonDetections.py:87-139)."""
+        self.dataset.construct_tiles(force_no_transformation=True)
+
+        if cache == 'from':
+            self._yolo_targets = self._cache.load('_yolo_targets')
+            self._detections = self._cache.load('_detections')
+            self._det_tile_idx = self._cache.load('_det_tile_idx')
+            return
+
+        tile_yx = jnp.asarray(self.dataset._tile_yx)
+        post = jax.jit(partial(self._postprocess,
+                               conf_thr=float(self.all_conf_thrs.min())))
+        self._yolo_targets = []
+        self._detections = []
+        self._det_tile_idx = []
+        print(f'Detecting axons in {self.dataset.name} data: ', end='\n')
+        for t in self.timepoint_subset:
+            print(f'frame {t}/{len(self) - 1}', end='...', flush=True)
+            X, yolo_target = self.dataset.get_frametiles_stack(t)
+            grid = self._infer_grid(t, X)
+            dets, alive = post(grid, tile_yx)
+            conf = np.asarray(dets['conf'])
+            x = np.asarray(dets['x'])
+            y = np.asarray(dets['y'])
+            keep = np.asarray(alive)
+            det = pd.DataFrame({
+                'conf': conf[keep].astype(np.float32),
+                'anchor_x': x[keep].astype(np.int64),
+                'anchor_y': y[keep].astype(np.int64)},
+                index=[f'Axon_{i:0>3}' for i in range(int(keep.sum()))])
+            self._detections.append(det)
+            # recover tile of each det for unstitched views
+            ty = np.clip(y[keep] // self.tilesize, 0,
+                         self.dataset.ytiles - 1).astype(int)
+            tx = np.clip(x[keep] // self.tilesize, 0,
+                         self.dataset.xtiles - 1).astype(int)
+            self._det_tile_idx.append(ty * self.dataset.xtiles + tx)
+            self._yolo_targets.append(np.asarray(yolo_target))
+        print('Done.\n', flush=True)
+
+        if cache == 'to':
+            self._cache.save('_yolo_targets', self._yolo_targets)
+            self._cache.save('_detections', self._detections)
+            self._cache.save('_det_tile_idx', self._det_tile_idx)
+
+    def from_cache(self, which):
+        return self._cache.load(which)
+
+    def to_cache(self, which, dat):
+        self._cache.save(which, dat)
+
+    # ---------------------------------------------------------- accessors
+    def _decode_gt_grid(self, t):
+        """Ground-truth grid -> DataFrame with Axon_{id} names (reference
+        _yolo_Y2pandas_det at conf_thr=1, AxonDetections.py:178-248)."""
+        grid = jnp.asarray(self._yolo_targets[t])
+        dets = decode_tiled(grid, jnp.asarray(self.dataset._tile_yx),
+                            1.0, self.tilesize, max_dets=MAX_DETS_PER_FRAME)
+        keep = np.asarray(dets['valid'])
+        ids = np.asarray(dets['ids'])[keep]
+        det = pd.DataFrame({
+            'conf': np.asarray(dets['conf'])[keep].astype(np.float32),
+            'anchor_x': np.asarray(dets['x'])[keep].astype(np.int64),
+            'anchor_y': np.asarray(dets['y'])[keep].astype(np.int64)},
+            index=[f'Axon_{i:0>3}' for i in ids])
+        return det
+
+    def get_frame_dets(self, which_dets, t, libmot=False, unstitched=False):
+        """Detections of one frame as a DataFrame (reference
+        AxonDetections.py:280-353); t=None concatenates all frames."""
+        if t is None:
+            all_dets = [self.get_frame_dets(which_dets, t, libmot)
+                        for t in range(len(self))]
+            return pd.concat(all_dets, axis=0 if libmot else 1)
+
+        assert hasattr(self, '_detections'), 'Run .detect_dataset() first!'
+        if which_dets == 'all':
+            det = self._detections[t]
+            if unstitched:
+                return self._unstitched(det, t)
+        elif which_dets == 'confident':
+            det = self._detections[t][self._detections[t].conf > self.conf_thr]
+            if unstitched:
+                return self._unstitched(det, t)
+        elif which_dets == 'IDed':
+            assert getattr(self, '_IDed_detections', None) is not None, \
+                'Run .assign_ids() first!'
+            det = self._IDed_detections[t]
+        elif which_dets == 'groundtruth':
+            assert self.labelled, 'No labels exist for this detection object!'
+            det = self._decode_gt_grid(t)
+        elif which_dets == 'FP_FN':
+            assert self.labelled, 'Cannot compute FP FN on unlabelled data'
+            dets = self.get_frame_dets('confident', t).copy()
+            true_dets = self.get_frame_dets('groundtruth', t)
+            FP_mask, FN_mask = self.compute_TP_FP_FN('confident', t,
+                                                     return_FP_FN_mask=True)
+            return dets[FP_mask], true_dets[FN_mask]
+        else:
+            raise ValueError(f'unknown which_dets {which_dets!r}')
+
+        if libmot:
+            return self.det2libmot_det(det, t)
+        return det.copy()
+
+    def _unstitched(self, det, t):
+        """Tile-wise list of DataFrames in tile-local coordinates."""
+        out = []
+        tile_idx = self._det_tile_idx[t]
+        sel_idx = np.asarray(
+            [tile_idx[self._detections[t].index.get_loc(i)] for i in det.index]
+        ) if len(det) else np.zeros(0, int)
+        for k, fi in enumerate(self.dataset._tile_flat_idx):
+            ty, tx = divmod(int(fi), self.dataset.xtiles)
+            sub = det[sel_idx == fi].copy() if len(det) else det.copy()
+            if len(sub):
+                sub['anchor_x'] -= tx * self.tilesize
+                sub['anchor_y'] -= ty * self.tilesize
+            out.append(sub)
+        return out
+
+    def get_frame_and_truedets(self, t, unstitched=False):
+        """(drawable frame [1, H, W], groundtruth DataFrame) — reference
+        AxonDetections.py:355-376."""
+        img = np.asarray(self.dataset.get_frame_image(t))[None]
+        true_det = (self._decode_gt_grid(t) if self.labelled
+                    else pd.DataFrame(columns=['conf', 'anchor_x', 'anchor_y']))
+        if not unstitched:
+            return img, true_det
+        X, _ = self.dataset.get_frametiles_stack(t)
+        return np.asarray(X), self._unstitched(true_det, t)
+
+    # ------------------------------------------------------------ metrics
+    def get_detection_metrics(self, which_dets, t, return_all_conf_thrs=False):
+        if not self.labelled:
+            return None, None, None
+        cnfs_mtrx = self.compute_TP_FP_FN(which_dets, t)
+        prc_rcl_f1 = self.compute_prc_rcl_F1(cnfs_mtrx)
+        if not return_all_conf_thrs:
+            idx = np.where(self.all_conf_thrs == self.conf_thr)[0][0]
+            return prc_rcl_f1[:, idx]
+        return prc_rcl_f1
+
+    def compute_TP_FP_FN(self, which_dets, t, return_FP_FN_mask=False):
+        """Greedy GT matching at 13 thresholds — exact reimplementation of
+        reference AxonDetections.py:409-472 (incl. the no-second-chance rule
+        when the closest det is already claimed)."""
+        det = self.get_frame_dets(which_dets, t)
+        true_det = self.get_frame_dets('groundtruth', t)
+        if det.shape[0] == 0:
+            det = pd.DataFrame([[0, 0, 0]],
+                               columns=['conf', 'anchor_x', 'anchor_y'])
+        if true_det.shape[0] == 0:
+            true_det = pd.DataFrame([[0, 0, 0]],
+                                    columns=['conf', 'anchor_x', 'anchor_y'])
+        d = np.sqrt(((true_det.iloc[:, 1:].values[:, None, :].astype(float)
+                      - det.iloc[:, 1:].values[None, :, :].astype(float)) ** 2
+                     ).sum(-1))
+        conf = det['conf'].values.astype(float)
+
+        TP_masks, FP_masks, FN_masks = [], [], []
+        for thr in self.all_conf_thrs:
+            TPs, FNs = [], []
+            for i in range(len(true_det)):
+                dist_to_gt = d[i]
+                TP_idx = np.where((dist_to_gt < self.nms_min_dist)
+                                  & (conf > thr))[0]
+                if len(TP_idx) > 1:
+                    TP_idx = [TP_idx[np.argmin(dist_to_gt[TP_idx])]]
+                if len(TP_idx) == 1 and TP_idx[0] not in TPs:
+                    TPs.append(TP_idx[0])
+                else:
+                    FNs.append(i)
+            TP_mask = np.zeros(len(det), bool)
+            TP_mask[TPs] = True
+            FP_mask = ~TP_mask & (conf > thr)
+            FN_mask = np.zeros(len(true_det), bool)
+            FN_mask[FNs] = True
+            TP_masks.append(TP_mask)
+            FP_masks.append(FP_mask)
+            FN_masks.append(FN_mask)
+
+        cnfs_mtrx = np.array([[m.sum() for m in TP_masks],
+                              [m.sum() for m in FP_masks],
+                              [m.sum() for m in FN_masks]])
+        if return_FP_FN_mask:
+            idx = np.where(self.all_conf_thrs == self.conf_thr)[0][0]
+            return FP_masks[idx], FN_masks[idx]
+        return cnfs_mtrx
+
+    def compute_prc_rcl_F1(self, cnfs_mtrx, return_dataframe=False):
+        """(reference AxonDetections.py:474-503)"""
+        prc = cnfs_mtrx[0] / (cnfs_mtrx[0] + cnfs_mtrx[1] + 1e-6)
+        rcl = cnfs_mtrx[0] / (cnfs_mtrx[0] + cnfs_mtrx[2] + 1e-6)
+        f1 = 2 * (prc * rcl) / ((prc + rcl) + 1e-6)
+        metric = np.array([prc, rcl, f1]).round(3)
+        if return_dataframe:
+            index = pd.MultiIndex.from_product([('precision', 'recall', 'F1'),
+                                                self.all_conf_thrs])
+            return pd.Series(metric.flatten(), index=index)
+        return metric
+
+    # -------------------------------------------------------- association
+    def assign_ids(self, astar_paths_cache=None, assigedIDs_cache=None):
+        """(reference AxonDetections.py:505-524)"""
+        self.astar_dists = self._compute_detections_astar_dists(
+            cache=astar_paths_cache)
+        self._IDed_detections = self._assign_IDs_to_detections(
+            cache=assigedIDs_cache)
+        self.IDed_dets_all = self._agg_all_IDed_dets()
+
+    def _frame_det_arrays(self):
+        out = []
+        for t in range(len(self)):
+            det = self._detections[t]
+            out.append({'conf': det['conf'].values.astype(np.float32),
+                        'x': det['anchor_x'].values.astype(np.int32),
+                        'y': det['anchor_y'].values.astype(np.int32)})
+        return out
+
+    def _compute_detections_astar_dists(self, cache=None):
+        """Geodesic distance matrices for all lookback frame pairs.
+
+        Replaces the reference's per-pair A* thread fan-out
+        (AxonDetections.py:526-585): each frame's detections become wavefront
+        sources once; both (t+1, gap 1) and (t+2, gap 2) pairs read from the
+        same distance maps. Returns dict[(t, gap)] -> f32[N_{t-gap}, N_t].
+        """
+        if cache == 'from':
+            return self._cache.load('astar_dists')
+
+        print('\nComputing geodesic detection distances...', flush=True)
+        dets = self._frame_det_arrays()
+        mask = jnp.asarray(np.asarray(self.dataset.mask, bool))
+        H, W = mask.shape
+        window = min(1024, max(G._round_up(max(H, W), 8), 8))
+        pad_h, pad_w = max(window - H, 0), max(window - W, 0)
+        padded = jnp.pad(mask, ((0, pad_h), (0, pad_w)))
+
+        astar_dists = {}
+        max_gap = self.MCF_max_num_misses + 1
+        for s in range(len(self) - 1):
+            n_src = len(dets[s]['conf'])
+            if n_src == 0:
+                continue
+            srcs = jnp.stack([jnp.asarray(dets[s]['y']),
+                              jnp.asarray(dets[s]['x'])], -1)
+            dmaps, origins = G._batched_windows(padded, srcs, window, 8)
+            for gap in range(1, max_gap + 1):
+                t = s + gap
+                if t >= len(self):
+                    continue
+                if len(dets[t]['conf']) == 0:
+                    astar_dists[(t, gap)] = np.zeros((n_src, 0), np.float32)
+                    continue
+                tgts = jnp.stack([jnp.asarray(dets[t]['y']),
+                                  jnp.asarray(dets[t]['x'])], -1)
+                D = G._gather_targets(dmaps, origins, tgts,
+                                      jnp.float32(self.max_px_assoc_dist),
+                                      window)
+                astar_dists[(t, gap)] = np.asarray(D)
+            print(f'frame {s}...', end='', flush=True)
+        print('Done.')
+
+        if cache == 'to':
+            self._cache.save('astar_dists', astar_dists)
+        return astar_dists
+
+    def _assign_IDs_to_detections(self, cache=None):
+        """Identity association via the native MCF (reference
+        AxonDetections.py:631-715)."""
+        if cache == 'from':
+            return self._cache.load('_IDed_detections')
+
+        print('\nAssigning axon IDs using min cost flow...', end='')
+        dets = self._frame_det_arrays()
+        vis_feats = None
+        if self.MCF_vis_sim_weight:
+            vis_feats = []
+            for t in range(len(self)):
+                img = self.get_frame_and_truedets(t)[0][0]
+                half = self.axon_box_size // 2
+                boxes = np.stack([dets[t]['x'] - half, dets[t]['y'] - half,
+                                  np.full_like(dets[t]['x'],
+                                               self.axon_box_size),
+                                  np.full_like(dets[t]['x'],
+                                               self.axon_box_size)], -1)
+                vis_feats.append(TC.box_histogram_features(img, boxes))
+
+        result = tracker.assign_identities(
+            dets, self.astar_dists, self._mcf_params(), vis_feats)
+        if result is None:
+            print('Could not solve the graph for identity association; -> '
+                  'no IDed detections. Try narrowing expected identities by '
+                  'updating parameters[`MCF_MIN_FLOW`, `MCF_MAX_FLOW`]. '
+                  f'Currently: {self.MCF_min_flow} to {self.MCF_max_flow}.')
+            return None
+
+        print(f'-> {len(result.trajectories)} axon IDs. Done.')
+        per_frame = [dict() for _ in range(len(self))]
+        for axon_id, traj in enumerate(result.trajectories):
+            for (t, det_i) in traj:
+                per_frame[t][axon_id] = det_i
+        IDed = []
+        for t in range(len(self)):
+            rows = sorted(per_frame[t].items())
+            det = pd.DataFrame({
+                'conf': [dets[t]['conf'][i] for _, i in rows],
+                'anchor_x': [dets[t]['x'][i] for _, i in rows],
+                'anchor_y': [dets[t]['y'][i] for _, i in rows]},
+                index=[f'Axon_{a:0>3}' for a, _ in rows])
+            IDed.append(det)
+
+        if cache == 'to':
+            self._cache.save('_IDed_detections', IDed)
+        return IDed
+
+    def _agg_all_IDed_dets(self):
+        """Aggregate frame-wise IDed detections: rows = axonID, columns =
+        (frameID, {anchor_x, anchor_y, conf}) (reference
+        AxonDetections.py:825-842)."""
+        if self._IDed_detections is None:
+            return None
+        frames = []
+        for t in range(len(self)):
+            det = self._IDed_detections[t]
+            det = det[['anchor_x', 'anchor_y', 'conf']]
+            det.columns = pd.MultiIndex.from_product(
+                [[t], ['anchor_x', 'anchor_y', 'conf']])
+            frames.append(det)
+        IDed_dets_all = pd.concat(frames, axis=1).sort_index(axis=1)
+        IDed_dets_all.index.rename('axonID', inplace=True)
+        IDed_dets_all.columns.rename(('frameID', 'detInfo'), inplace=True)
+        return IDed_dets_all
+
+    # --------------------------------------------------- libmot converters
+    def det2libmot_det(self, detection, t, empty_id=False, drop_conf=False,
+                       to_pandas=True):
+        """(reference AxonDetections.py:754-784)"""
+        conf = detection['conf'].values
+        x = detection['anchor_x'].values
+        y = detection['anchor_y'].values
+        x_topleft = x - self.axon_box_size // 2
+        y_topleft = y - self.axon_box_size // 2
+        frame_id = np.full(conf.shape, t)
+        boxs = np.full(conf.shape, self.axon_box_size)
+        axon_id = np.array([int(str(idx)[-3:]) for idx in detection.index])
+        det_libmot = np.stack([frame_id, axon_id, x_topleft, y_topleft,
+                               boxs, boxs, conf]).T
+        cols = ['FrameId', 'Id', 'X', 'Y', 'Width', 'Height', 'conf']
+        det_libmot = pd.DataFrame(det_libmot, columns=cols)
+        return det_libmot.set_index(['FrameId', 'Id'])
+
+    def libmot_det2det(self, IDed_detections_libmot):
+        """(reference AxonDetections.py:786-823)"""
+        IDed = (IDed_detections_libmot + self.axon_box_size // 2).iloc[:, :2]
+        IDed.columns = ['anchor_x', 'anchor_y']
+        out = []
+        for t in range(len(self)):
+            if t in IDed.index.unique(0):
+                det = IDed.loc[t].copy()
+                conf, det_x, det_y = (self.get_frame_dets('all', t)
+                                      .values.T.astype(float))
+                confs = []
+                for x, y in det.values:
+                    m = conf[(x == det_x) & (y == det_y)]
+                    confs.append(m[0] if len(m) else np.nan)
+                det['conf'] = confs
+                det = det[['conf', 'anchor_x', 'anchor_y']]
+                det.index = [f'Axon_{i:0>3}' for i in det.index]
+            else:
+                det = pd.DataFrame([])
+            out.append(det.sort_index())
+        return out
+
+    # ----------------------------------------------------- param search
+    def search_MCF_params(self, edge_cost_thr_values=(
+            .4, .6, .7, .8, .9, 1, 1.2, 3),
+            entry_exit_cost_values=(.2, .8, .9, 1, 1.1, 2),
+            miss_rate_values=(0.9, 0.6), vis_sim_weight_values=(0, 0.1),
+            conf_capping_method_values=('ceil', 'scale_to_max')):
+        """Grid-search MCF hyperparameters against ground truth with the
+        MOT-challenge metric suite (reference AxonDetections.py:845-922)."""
+        from .track.motmetrics_lite import mot_metrics
+
+        target = self.get_frame_dets('groundtruth', None, libmot=True)
+        results, i = [], 0
+        total = (len(edge_cost_thr_values) * len(entry_exit_cost_values)
+                 * len(miss_rate_values) * len(vis_sim_weight_values)
+                 * len(conf_capping_method_values))
+        for ec in edge_cost_thr_values:
+            self.MCF_edge_cost_thr = ec
+            for eec in entry_exit_cost_values:
+                self.MCF_entry_exit_cost = eec
+                for mr in miss_rate_values:
+                    self.MCF_miss_rate = mr
+                    for vsw in vis_sim_weight_values:
+                        self.MCF_vis_sim_weight = vsw
+                        for ccm in conf_capping_method_values:
+                            self.MCF_conf_capping_method = ccm
+                            print(f'{i}/{total}', flush=True)
+                            self.assign_ids(astar_paths_cache='from')
+                            if self._IDed_detections is None:
+                                i += 1
+                                continue
+                            pred = self.get_frame_dets('IDed', None,
+                                                       libmot=True)
+                            res = mot_metrics(target, pred,
+                                              distth=self.nms_min_dist ** 2)
+                            row = pd.Series(
+                                (ec, eec, mr, vsw, ccm),
+                                ('edge_cost_thr', 'entry_exit_cost',
+                                 'miss_rate', 'vis_sim_weight',
+                                 'conf_capping_method'))
+                            results.append(pd.concat([row, res]))
+                            i += 1
+        results = pd.concat(results, axis=1).T
+        results.to_csv(f'{self.dir}/MCF_params_results.csv')
+        return results

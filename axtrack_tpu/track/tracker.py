@@ -1,0 +1,131 @@
+"""Global min-cost-flow identity tracker.
+
+TPU-framework replacement for the reference's libmot ``MinCostFlowTracker``
+(reference AxonDetections.py:631-715; libmot is an unvendored submodule
+wrapping OR-Tools). The graph follows Zhang et al. 2008 network-flow MOT,
+reconstructed from the reference's call surface and parameter docs
+(AxonDetections.py:663-676, 845-878):
+
+- per detection i: edge u_i -> v_i with observation cost (log-odds of the
+  capped confidence, costs.observation_costs)
+- source -> u_i entry and v_i -> sink exit edges, cost MCF_ENTRY_EXIT_COST
+- v_i(t-gap) -> u_j(t) transition edges for gap in 1..MCF_MAX_NUM_MISSES+1
+  with cost -log((1-w)*(1-d/500)*miss_rate^(gap-1) + w*vis_sim + 1e-6);
+  unreachable (d == 500) and cost > MCF_EDGE_COST_THR edges are pruned
+  (the reference documents edge_cost_thr as "the maximum cost for an edge
+  to still be considered", AxonDetections.py:855-858; we apply it to
+  transition edges)
+- solved exactly over flow in [MCF_MIN_FLOW, MCF_MAX_FLOW] by the native
+  SSP solver (native/mcf.cpp); infeasible -> None, mirroring the
+  reference's graceful failure (AxonDetections.py:691-696)
+
+Trajectory IDs are numbered by (start frame, detection index) — the
+reference's IDs come from libmot's internal trajectory order, which is not
+reconstructible; ordering is deterministic either way.
+"""
+import numpy as np
+
+from .. import native
+from . import costs as C
+
+
+class TrackGraphResult:
+    def __init__(self, trajectories, flow, total_cost):
+        self.trajectories = trajectories     # list of list[(frame, det_idx)]
+        self.flow = flow
+        self.total_cost = total_cost
+
+
+def assign_identities(frame_dets, astar_dists, params, vis_feats=None):
+    """Solve the identity-association MCF.
+
+    Args:
+      frame_dets: list over frames of dict(conf f32[N_t], x, y) — the 'all'
+        detections per frame (reference uses all dets above 0.55,
+        AxonDetections.py:653).
+      astar_dists: dict[(t, t_gap)] -> f32[N_{t-gap}, N_t] node-count
+        distance matrices (max_px_assoc_dist marks unreachable).
+      params: flat parameter dict (MCF_* keys).
+      vis_feats: optional list over frames of f32[N_t, n_bins] appearance
+        features (used when MCF_VIS_SIM_WEIGHT > 0).
+
+    Returns TrackGraphResult or None when the flow range is infeasible.
+    """
+    max_px = 500
+    n_frames = len(frame_dets)
+    counts = [len(fd['conf']) for fd in frame_dets]
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(int)
+    n_dets = int(offsets[-1])
+
+    all_conf = np.concatenate([np.asarray(fd['conf'], np.float64)
+                               for fd in frame_dets]) if n_dets else \
+        np.zeros(0)
+    capped = C.cap_confidences(all_conf, params['MCF_CONF_CAPPING_METHOD'])
+    obs = C.observation_costs(capped, params['MCF_MAX_CONF_COST'])
+
+    src = 2 * n_dets
+    snk = 2 * n_dets + 1
+    ef, et, ec = [], [], []
+    for i in range(n_dets):
+        ef += [2 * i, src, 2 * i + 1]
+        et += [2 * i + 1, 2 * i, snk]
+        ec += [obs[i], params['MCF_ENTRY_EXIT_COST'],
+               params['MCF_ENTRY_EXIT_COST']]
+
+    n_struct = len(ef)
+    trans_edge_meta = []            # (global_prev, global_cur)
+    for t in range(n_frames):
+        for gap in range(1, params['MCF_MAX_NUM_MISSES'] + 2):
+            tb = t - gap
+            if tb < 0 or (t, gap) not in astar_dists:
+                continue
+            d = np.asarray(astar_dists[(t, gap)], np.float64)
+            if d.size == 0:
+                continue
+            vis_sim = None
+            w = params['MCF_VIS_SIM_WEIGHT']
+            if w and vis_feats is not None:
+                vis_sim = C.bhattacharyya_similarity(vis_feats[tb],
+                                                     vis_feats[t])
+            cost = C.transition_costs(d, params['MCF_MISS_RATE'], gap,
+                                      max_px, vis_sim, w)
+            keep = np.isfinite(cost) & (cost <= params['MCF_EDGE_COST_THR'])
+            pi, ci = np.nonzero(keep)
+            for p, c_ in zip(pi, ci):
+                gp = offsets[tb] + p
+                gc = offsets[t] + c_
+                ef.append(2 * gp + 1)
+                et.append(2 * gc)
+                ec.append(cost[p, c_])
+                trans_edge_meta.append((gp, gc))
+
+    flow_val, flow, total_cost = native.solve_tracking_mcf(
+        2 * n_dets + 2, np.asarray(ef), np.asarray(et), np.asarray(ec),
+        params['MCF_MIN_FLOW'], params['MCF_MAX_FLOW'])
+    if flow_val is None:
+        return None
+
+    # decompose: successor map from transition edges with flow
+    succ = {}
+    for k, (gp, gc) in enumerate(trans_edge_meta):
+        if flow[n_struct + k]:
+            succ[gp] = gc
+    # starts: detections whose entry edge carries flow (edge 3i+1)
+    covered = [bool(flow[3 * i]) for i in range(n_dets)]
+    starts = [i for i in range(n_dets) if covered[i] and flow[3 * i + 1]]
+
+    def det_frame(g):
+        return int(np.searchsorted(offsets, g, 'right') - 1)
+
+    starts.sort(key=lambda g: (det_frame(g), g))
+    trajectories = []
+    for s in starts:
+        traj = []
+        g = s
+        while True:
+            traj.append((det_frame(g), int(g - offsets[det_frame(g)])))
+            if g not in succ:
+                break
+            g = succ[g]
+        trajectories.append(traj)
+    return TrackGraphResult(trajectories, flow, total_cost)

@@ -1,0 +1,178 @@
+"""End-to-end pipeline tests on synthetic fixtures with an oracle detector
+(decouples decode/NMS/geodesic/MCF correctness from detector training)."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from axtrack_tpu.params import get_default_parameters
+from axtrack_tpu.data.synthetic import write_fixture, OracleDetector
+from axtrack_tpu.data.timelapse import Timelapse
+from axtrack_tpu.detections import AxonDetections
+
+
+@pytest.fixture(scope='module')
+def fixture(tmp_path_factory):
+    d = tmp_path_factory.mktemp('fix')
+    # one axon per channel -> no two axons ever share a YOLO cell
+    return write_fixture(str(d), T=12, H=512, W=768, n_axons=6, seed=3,
+                         n_channels=6)
+
+
+@pytest.fixture(scope='module')
+def params():
+    P = get_default_parameters()
+    P['TILESIZE'] = 256
+    P['MCF_MIN_FLOW'] = 1
+    P['MCF_MAX_FLOW'] = 50
+    return P
+
+
+@pytest.fixture(scope='module')
+def dataset(fixture, params):
+    return Timelapse(
+        imseq_path=fixture['tif'], labels_csv=fixture['labels'],
+        mask_path=fixture['mask'], timepoints=None, offset=None,
+        log_correct=True, standardize_framewise=False,
+        standardize=('zscore', None), name='test',
+        use_transforms=[], contrast_llim=None, plot=True, pad=None,
+        Sy=12, Sx=12, tilesize=params['TILESIZE'], cache=None,
+        from_cache=None, temporal_context=2)
+
+
+class TestTimelapse:
+    def test_shapes_and_slicing(self, dataset, fixture):
+        T = 12
+        assert dataset.sizet == T - 4            # context trims 2 each side
+        assert dataset.sizey == 512 and dataset.sizex == 768
+        assert dataset.X.shape == (T, 512, 768)  # all frames incl context
+        assert dataset.timepoints == list(range(2, T - 2))
+
+    def test_standardization_used_nonzero_stats(self, dataset):
+        kind, (var, mean) = dataset.stnd_scaler
+        assert kind == 'zscore' and var > 0
+
+    def test_construct_tiles(self, dataset, params):
+        dataset.construct_tiles(force_no_transformation=True)
+        T_all, K, ts, ts2 = dataset.X_tiled.shape
+        assert ts == ts2 == params['TILESIZE']
+        assert K <= dataset.ytiles * dataset.xtiles
+        assert dataset.target_tiled.shape == (T_all, K, 12, 12, 4)
+        # positive cells = unique (tile, cell) among the 6 axons (two axons
+        # in one cell collapse to one positive — scatter overwrite, same as
+        # the reference's sparse-tensor trick at Timelapse.py:486-489)
+        ts = params['TILESIZE']
+        npos = dataset.target_tiled[..., 0].sum((1, 2, 3))
+        lab = dataset.target
+        for row, n in zip(range(len(lab)), npos):
+            cells = set()
+            for name in lab.columns.unique(0):
+                y = lab.iloc[row][(name, 'anchor_y')]
+                x = lab.iloc[row][(name, 'anchor_x')]
+                cells.add((int(y // ts), int(x // ts),
+                           int(y % ts / ts * 12), int(x % ts / ts * 12)))
+            assert n == len(cells), (row, n, cells)
+
+    def test_getitem_stacks_context(self, dataset):
+        X, tgt = dataset[0]
+        assert X.shape == (256, 256, 5)
+        assert tgt.shape == (12, 12, 4)
+
+    def test_frametiles_stack(self, dataset):
+        X, tgt = dataset.get_frametiles_stack(0)
+        assert X.ndim == 4 and X.shape[-1] == 5
+        assert tgt.shape[1:] == (12, 12, 4)
+
+
+class TestOracleDetections:
+    @pytest.fixture(scope='class')
+    def axdets(self, dataset, params, tmp_path_factory):
+        d = tmp_path_factory.mktemp('dets')
+        oracle = OracleDetector(dataset, conf=0.95, noise_cells=0)
+        ax = AxonDetections(oracle, dataset, params, str(d))
+        ax.detect_dataset()
+        return ax
+
+    def test_detections_match_groundtruth(self, axdets, dataset):
+        for t in range(len(axdets)):
+            det = axdets.get_frame_dets('all', t)
+            gt = axdets.get_frame_dets('groundtruth', t)
+            assert len(det) == len(gt) == 6
+            # same coordinates (decode of oracle grid == decode of GT grid)
+            got = set(map(tuple, det[['anchor_x', 'anchor_y']].values))
+            want = set(map(tuple, gt[['anchor_x', 'anchor_y']].values))
+            assert got == want
+
+    def test_metrics_perfect(self, axdets):
+        cnfs = sum(axdets.compute_TP_FP_FN('all', t)
+                   for t in range(len(axdets)))
+        prc_rcl_f1 = axdets.compute_prc_rcl_F1(cnfs)
+        # at the operating threshold 0.7 (oracle conf 0.95): perfect
+        idx = np.where(axdets.all_conf_thrs == 0.7)[0][0]
+        assert (prc_rcl_f1[:, idx] == 1.0).all()
+
+    def test_assign_ids_tracks_all_axons(self, axdets):
+        axdets.assign_ids()
+        dets_all = axdets.IDed_dets_all
+        assert dets_all is not None
+        assert len(dets_all) == 6                # one row per axon
+        # every axon tracked through every frame
+        for t in range(len(axdets)):
+            assert dets_all[t].dropna().shape[0] == 6
+
+    def test_track_identity_consistency(self, axdets, dataset, fixture):
+        """Tracked positions per ID must follow one ground-truth axon."""
+        labels = fixture['labels_df']
+        dets_all = axdets.IDed_dets_all
+        tps = dataset.timepoints
+        for axon_id in dets_all.index:
+            # which GT axon is this track closest to, per frame
+            matches = []
+            for t in range(len(axdets)):
+                x = dets_all.loc[axon_id, (t, 'anchor_x')]
+                y = dets_all.loc[axon_id, (t, 'anchor_y')]
+                gt_row = labels.iloc[tps[t]]
+                dists = {}
+                for name in labels.columns.unique(0):
+                    gy = gt_row[(name, 'anchor_y')]
+                    gx = gt_row[(name, 'anchor_x')]
+                    dists[name] = np.hypot(gy - y, gx - x)
+                matches.append(min(dists, key=dists.get))
+            assert len(set(matches)) == 1, f'{axon_id} switched: {matches}'
+
+    def test_ided_dets_schema(self, axdets):
+        dets_all = axdets.IDed_dets_all
+        assert dets_all.index.name == 'axonID'
+        assert dets_all.columns.names == ['frameID', 'detInfo']
+        assert list(dets_all[0].columns) == ['anchor_x', 'anchor_y', 'conf']
+
+    def test_cache_roundtrip(self, axdets, dataset, params, tmp_path_factory):
+        d = tmp_path_factory.mktemp('cache')
+        oracle = OracleDetector(dataset, conf=0.95)
+        ax1 = AxonDetections(oracle, dataset, params, str(d))
+        ax1.detect_dataset(cache='to')
+        ax1.assign_ids(astar_paths_cache='to', assigedIDs_cache='to')
+        ax2 = AxonDetections(oracle, dataset, params, str(d))
+        ax2.detect_dataset(cache='from')
+        ax2.assign_ids(astar_paths_cache='from', assigedIDs_cache='from')
+        pd.testing.assert_frame_equal(ax1.IDed_dets_all, ax2.IDed_dets_all)
+
+    def test_libmot_roundtrip(self, axdets):
+        lm = axdets.get_frame_dets('IDed', 0, libmot=True)
+        assert list(lm.columns) == ['X', 'Y', 'Width', 'Height', 'conf']
+        assert (lm['Width'] == 70).all()
+
+
+class TestNoiseRobustness:
+    def test_distractors_suppressed_by_tracking(self, dataset, params,
+                                                tmp_path_factory):
+        """Low-conf distractor detections should mostly not obtain IDs."""
+        d = tmp_path_factory.mktemp('noise')
+        oracle = OracleDetector(dataset, conf=0.95, noise_cells=4,
+                                noise_conf=0.6, seed=1)
+        ax = AxonDetections(oracle, dataset, params, str(d))
+        ax.detect_dataset()
+        ax.assign_ids()
+        # 6 real axons with long tracks; distractors at conf .6 are isolated
+        long_tracks = (ax.IDed_dets_all.notna()
+                       .T.groupby(level=0).all().sum() > len(ax) // 2).sum()
+        assert long_tracks == 6
