@@ -350,7 +350,20 @@ class AxonDetections:
         dets = self._frame_det_arrays()
         mask = jnp.asarray(np.asarray(self.dataset.mask, bool))
         H, W = mask.shape
-        window = min(1024, max(G._round_up(max(H, W), 8), 8))
+        # effective association radius: transition edges with cost >
+        # MCF_EDGE_COST_THR are pruned by the tracker, so distances beyond
+        # d_eff = max_px * (1 - e^-thr) never affect the solution
+        # (transition cost = -log((1-d/max_px)*miss^(gap-1)+1e-6),
+        # mincostflow_models.py:115-118) — gap 1 gives the largest radius.
+        if self.MCF_vis_sim_weight == 0:
+            d_eff = self.max_px_assoc_dist * (
+                1 - np.exp(-self.MCF_edge_cost_thr) + 1e-6)
+            d_eff = min(np.ceil(d_eff), self.max_px_assoc_dist)
+        else:
+            # visual similarity can rescue far pairs -> need full radius
+            d_eff = self.max_px_assoc_dist
+        window = int(min(1024, G._round_up(2 * int(d_eff) + 1, 128)))
+        window = min(window, max(G._round_up(max(H, W), 8), 8))
         pad_h, pad_w = max(window - H, 0), max(window - W, 0)
         padded = jnp.pad(mask, ((0, pad_h), (0, pad_w)))
 

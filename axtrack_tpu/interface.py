@@ -1,0 +1,206 @@
+"""Public inference API.
+
+TPU-native rebuild of reference axtrack/interface.py:19-320. The three-step
+surface is preserved verbatim (README.md:30-46):
+
+    parameters, model, stnd_scaler = setup_inference(dest_dir)
+    timelapse = prepare_input_data(imseq_fname, parameters, dest_dir, ...)
+    axon_dets = inference(timelapse, model, dest_dir, parameters, ...)
+    axon_dets.IDed_dets_all
+    visualize_inference(axon_dets, ...)
+
+``model`` is a (flax module, variables) pair instead of a torch Module; it
+is passed straight back into inference() so user code is unchanged.
+
+The deployed bundle directory (config.DEPLOYED_MODEL_DIR) holds params.json,
+train_stnd_scaler.pkl and an orbax checkpoint dir E%04d — create one from a
+training run with deploy_run(), or a synthetic-data bundle with
+scripts/make_deployed_model.py.
+"""
+import os
+
+import pandas as pd
+
+from .config import DEPLOYED_MODEL_DIR, DEFAULT_DEVICE, DEFAULT_NUM_WORKERS
+from .params import load_parameters, params2text
+from .models.yolo import build_model
+from .train import engine
+from .data.timelapse import Timelapse
+from .detections import AxonDetections
+from .utils import (turn_tex, set_seed, get_data_standardization_scaler,
+                    save_preproc_metrics)
+
+
+def _get_params(num_workers=None, device=None, deployed_dir=None):
+    parameters = load_parameters(
+        exp_name=None, run=None,
+        from_directory=deployed_dir or DEPLOYED_MODEL_DIR)
+    if num_workers:
+        parameters['NUM_WORKERS'] = num_workers
+    if device:
+        parameters['DEVICE'] = device
+    return parameters
+
+
+def _get_model(parameters, print_params=False, deployed_dir=None):
+    parameters['LOAD_MODEL'] = deployed_dir or DEPLOYED_MODEL_DIR
+    state = engine.setup_model(parameters)
+    if print_params:
+        print(params2text(parameters))
+    return (state.model, state.variables)
+
+
+def _get_train_data(parameters):
+    """(reference interface.py:35-36 — which referenced setup_data without
+    importing it; fixed here)"""
+    return engine.setup_data(parameters, skip_test=True)[0]
+
+
+def setup_inference(dest_dir, print_params=False,
+                    num_workers=DEFAULT_NUM_WORKERS, device=DEFAULT_DEVICE,
+                    deployed_dir=None):
+    """Setup model and parameters for detecting axons
+    (reference interface.py:38-77).
+
+    Returns (parameters, model, stnd_scaler) where model is a
+    (flax module, variables) pair and stnd_scaler e.g.
+    ('zscore', (0.0151, 0.0094)).
+    """
+    deployed_dir = deployed_dir or DEPLOYED_MODEL_DIR
+    parameters = _get_params(num_workers, device, deployed_dir)
+    set_seed(parameters['SEED'])
+    turn_tex('on')
+    model = _get_model(parameters, print_params, deployed_dir)
+    scaler_fname = f'{deployed_dir}/train_stnd_scaler.pkl'
+    stnd_scaler = get_data_standardization_scaler(scaler_fname)
+    os.makedirs(dest_dir, exist_ok=True)
+    return parameters, model, stnd_scaler
+
+
+def prepare_input_data(imseq_fname, parameters, dest_dir, inference_data_dir,
+                       stnd_scaler, mask_fname=None, use_cached_datasets='to',
+                       check_preproc=False, input_metadata={}):
+    """Generate the Timelapse input object (reference interface.py:79-168)."""
+    pad = input_metadata.get('pad')
+    if pad:
+        pad = [pad] * 4
+    timelapse = Timelapse(
+        imseq_path=f'{inference_data_dir}/{imseq_fname}',
+        mask_path=(f'{inference_data_dir}/{mask_fname}'
+                   if mask_fname else None),
+        labels_csv=None,
+        timepoints=None,
+        pad=pad,
+        use_transforms=[],
+        cache=dest_dir if use_cached_datasets == 'to' else None,
+        from_cache=dest_dir if use_cached_datasets == 'from' else None,
+        name=input_metadata.get('name'),
+        dt=input_metadata.get('dt_min', input_metadata.get('dt')),
+        pixelsize=input_metadata.get('pixelsize'),
+        incubation_time=input_metadata.get('incubation_time_min',
+                                           input_metadata.get(
+                                               'incubation_time')),
+        seeding_datetime=input_metadata.get('seeding_datetime'),
+        notes=input_metadata.get('notes'),
+        offset=input_metadata.get('intensity_offset'),
+        contrast_llim=input_metadata.get('clip_intensity'),
+        log_correct=parameters['LOG_CORRECT'],
+        standardize_framewise=parameters['STANDARDIZE_FRAMEWISE'],
+        standardize=stnd_scaler,
+        use_motion_filtered=parameters['USE_MOTION_DATA'],
+        use_sparse=parameters['USE_SPARSE'],
+        temporal_context=parameters['TEMPORAL_CONTEXT'],
+        plot=parameters['PLOT_PREPROC'],
+        tilesize=parameters['TILESIZE'],
+        Sy=parameters['SY'],
+        Sx=parameters['SX'])
+
+    if check_preproc and not timelapse.plot_data:
+        print('(check_preproc requested but PLOT_PREPROC is off in the '
+              'deployed params; skipping distribution check)')
+        check_preproc = False
+    if check_preproc:
+        infrc_preproc_fname = save_preproc_metrics(dest_dir, timelapse)
+        infrc_prproc = pd.read_csv(infrc_preproc_fname, index_col=0,
+                                   header=[0, 1, 2])
+        train_preproc_fname = f'{DEPLOYED_MODEL_DIR}/train_preproc_data.csv'
+        if os.path.exists(train_preproc_fname):
+            from .viz.plots import plot_preprocessed_input_data
+            train_preproc = pd.read_csv(train_preproc_fname, index_col=0,
+                                        header=[0, 1, 2]).loc[:, ['train']]
+            plot_preprocessed_input_data(
+                pd.concat([infrc_prproc, train_preproc], axis=1),
+                name=timelapse.name, dest_dir=dest_dir, show=False)
+        else:
+            print('(no train_preproc_data.csv in deployed bundle; '
+                  'skipping distribution comparison plot)')
+    return timelapse
+
+
+def inference(timelapse, model, dest_dir, parameters, detections_cache='to',
+              astar_paths_cache='to', assigedIDs_cache='to'):
+    """Detect growth cones and associate identities
+    (reference interface.py:170-215). Final product:
+    ``axon_detections.IDed_dets_all``."""
+    dets_dest_dir = f'{dest_dir}/axon_dets'
+    axon_detections = AxonDetections(model, timelapse, parameters,
+                                     dets_dest_dir)
+    axon_detections.detect_dataset(cache=detections_cache)
+    axon_detections.assign_ids(astar_paths_cache, assigedIDs_cache)
+    return axon_detections
+
+
+def visualize_inference(axon_dets, which_dets='IDed', description='',
+                        t_y_x_slice=[None, None, None], dets_kwargs=None,
+                        scnd_dets_kwargs=None, show=False, axon_subset=None,
+                        save_single_tiles=False, animated=False, dpi=160,
+                        fps=6, anim_fname_postfix='', draw_true_dets=False,
+                        draw_grid=True, draw_scalebar=False,
+                        draw_axon_reconstructions=False, draw_trg_paths=None,
+                        draw_brightened_bg=False):
+    """Render detections on the timelapse (reference interface.py:217-320)."""
+    from .viz.video import draw_all
+    draw_all(axon_dets,
+             which_dets=which_dets,
+             description=description,
+             t_y_x_slice=t_y_x_slice,
+             dets_kwargs=dets_kwargs,
+             scnd_dets_kwargs=scnd_dets_kwargs,
+             show=show,
+             axon_subset=axon_subset,
+             save_single_tiles=save_single_tiles,
+             animated=animated,
+             dpi=dpi,
+             fps=fps,
+             anim_fname_postfix=anim_fname_postfix,
+             draw_true_dets=draw_true_dets,
+             draw_grid=draw_grid,
+             draw_scalebar=draw_scalebar,
+             draw_axon_reconstructions=draw_axon_reconstructions,
+             draw_trg_paths=draw_trg_paths,
+             draw_brightened_bg=draw_brightened_bg)
+
+
+def deploy_run(exp_name, run, epoch, dest_dir=None):
+    """Package a training run into a deployment bundle (new capability —
+    the reference's deployed_model/ bundle was assembled by hand)."""
+    import shutil
+    from .config import OUTPUT_DIR
+    from .utils.rundirs import get_run_dir
+    from .params import load_parameters, write_parameters
+    dest_dir = dest_dir or DEPLOYED_MODEL_DIR
+    os.makedirs(dest_dir, exist_ok=True)
+    run_dir = get_run_dir(f'{OUTPUT_DIR}/runs/{exp_name}/', run)
+    params = load_parameters(exp_name, run)
+    params['LOAD_MODEL'] = None
+    write_parameters(f'{dest_dir}/params.json', params)
+    src_ckpt = f'{run_dir}/models/E{epoch:0>4}'
+    dst_ckpt = f'{dest_dir}/E{epoch:0>4}'
+    if os.path.exists(dst_ckpt):
+        shutil.rmtree(dst_ckpt)
+    shutil.copytree(src_ckpt, dst_ckpt)
+    for extra in ('train_stnd_scaler.pkl',):
+        src = f'{run_dir}/{extra}'
+        if os.path.exists(src):
+            shutil.copy(src, f'{dest_dir}/{extra}')
+    return dest_dir

@@ -1,0 +1,123 @@
+"""Device-mesh parallelism.
+
+The reference is strictly single-process (SURVEY.md §2.3: no
+torch.distributed/NCCL anywhere — its only concurrency is a DataLoader and
+an A* thread pool). This module is the TPU-native replacement layer: a
+``jax.sharding.Mesh`` over ICI with named axes
+
+  - ``data``  : batch/data parallelism over tiles (training) or frames
+                (inference). Spatial tiling of the 2920x6364 frames makes
+                tiles the natural data-parallel unit, so 'data' doubles as
+                spatial parallelism.
+  - ``model`` : tensor parallelism over the detector's FC head (the 42M-
+                parameter Dense layers dominate; column-parallel first FC,
+                row-parallel second, XLA inserts the psum on ICI).
+
+Pipeline/expert parallelism are not meaningful for this model family (a
+9-layer CNN + 2 FC, no experts); depth is too small to beat the bubble. The
+mesh axes here are the ones that pay: dp over tiles/frames/movies, tp over
+the FC head.
+
+Shardings are expressed as NamedSharding annotations on the param/batch
+pytrees; collectives are inserted by XLA (scaling-book recipe: pick a mesh,
+annotate, let the compiler place psum/all-gather on ICI).
+"""
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data=None, n_model=None, devices=None):
+    """Build a ('data', 'model') mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n_model is None:
+        n_model = 2 if n % 2 == 0 and n > 1 else 1
+    if n_data is None:
+        n_data = n // n_model
+    dev_array = np.asarray(devices[:n_data * n_model]).reshape(
+        n_data, n_model)
+    return Mesh(dev_array, ('data', 'model'))
+
+
+def param_partition_spec(path, leaf):
+    """PartitionSpec for one model parameter.
+
+    Conv kernels/biases + BatchNorm: replicated (small). Dense layers:
+    alternate column-parallel / row-parallel over 'model' so consecutive FCs
+    chain without resharding (Megatron pattern); the final 432-dim head is
+    replicated.
+    """
+    names = [getattr(p, 'key', getattr(p, 'name', str(p))) for p in path]
+    joined = '/'.join(str(n) for n in names)
+    if 'Dense' in joined and leaf.ndim >= 1:
+        dense_idx = int([n for n in names if str(n).startswith('Dense')][-1]
+                        .split('_')[-1])
+        if leaf.ndim == 2 and min(leaf.shape) >= 2:
+            if dense_idx % 2 == 0:
+                return P(None, 'model')       # column parallel
+            return P('model', None)           # row parallel
+        if leaf.ndim == 1 and dense_idx % 2 == 0 and leaf.shape[0] >= 2:
+            return P('model')
+    return P()
+
+
+def shard_params(params, mesh):
+    """device_put a param pytree with TP shardings over the mesh."""
+    def place(path, leaf):
+        spec = param_partition_spec(path, leaf)
+        # only shard when divisible; else replicate
+        for ax_name, dim in zip(spec, leaf.shape):
+            if ax_name is not None and dim % mesh.shape[ax_name] != 0:
+                spec = P()
+                break
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def replicate(tree, mesh):
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+
+
+def shard_batch(batch, mesh):
+    """Shard leading (batch) dim over 'data'."""
+    return jax.tree.map(
+        lambda x: jax.device_put(
+            jnp.asarray(x), NamedSharding(mesh, P('data'))), batch)
+
+
+def sharded_train_step(state, mesh):
+    """Jit the engine train step for the mesh; shardings are taken from the
+    argument placements (params TP-sharded, batch DP-sharded) and
+    propagated by XLA, which inserts the ICI collectives."""
+    from ..train.engine import make_train_step
+    train_step, eval_step = make_train_step(state.model, state.tx, state.P)
+    return train_step, eval_step
+
+
+def sharded_inference_fn(model, variables, mesh):
+    """Batched tile inference with tiles sharded over 'data' and the FC head
+    over 'model'."""
+    from ..models.yolo import detect_axons
+
+    @jax.jit
+    def fn(X):
+        X = jax.lax.with_sharding_constraint(
+            X, NamedSharding(mesh, P('data')))
+        return detect_axons(model, variables, X)
+    return fn
+
+
+def distribute_state(state, mesh):
+    """Place a TrainState on the mesh: params TP-sharded, batch stats
+    replicated, optimizer state re-initialized on the sharded params (Adam
+    moments are zeros_like(param) and inherit the param shardings — note
+    this resets moments, so distribute before training, not mid-run)."""
+    state.params = shard_params(state.params, mesh)
+    state.batch_stats = replicate(state.batch_stats, mesh)
+    state.opt_state = state.tx.init(state.params)
+    return state

@@ -1,0 +1,232 @@
+"""Training engine.
+
+TPU-native rebuild of reference machinelearning/core_functionality.py:15-166:
+setup_data / setup_model / setup_data_loaders / run_epoch / prepare_data /
+one_epoch, with torch Adam+LambdaLR replaced by optax and the batch loop by
+a single jitted train step (grad + L2 + Adam + BatchNorm stat update).
+
+Optimizer parity: torch.optim.Adam(weight_decay=wd) adds wd*p to the raw
+gradient *before* the Adam moments (L2, not AdamW), reproduced with
+optax.add_decayed_weights placed before scale_by_adam. LR schedule is the
+reference's per-epoch lambda e^(-sqrt(E)/LR_DECAYRATE)
+(core_functionality.py:83-87), injected via optax.inject_hyperparams.
+"""
+import math
+from functools import partial
+
+import numpy as np
+import pandas as pd
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.timelapse import Timelapse
+from ..models.yolo import build_model, init_variables, initial_in_channels
+from ..models.loss import yolo_loss
+from ..utils import new_key
+
+
+def setup_data(P, skip_test=False):
+    """Train/test Timelapse pair; test reuses the train scaler
+    (reference core_functionality.py:15-59)."""
+    common = dict(
+        imseq_path=P['TIMELAPSE_FILE'], labels_csv=P['LABELS_FILE'],
+        mask_path=P['MASK_FILE'], log_correct=P['LOG_CORRECT'],
+        offset=P['OFFSET'], standardize_framewise=P['STANDARDIZE_FRAMEWISE'],
+        use_motion_filtered=P['USE_MOTION_DATA'], use_sparse=P['USE_SPARSE'],
+        use_transforms=P['USE_TRANSFORMS'],
+        temporal_context=P['TEMPORAL_CONTEXT'],
+        contrast_llim=P['CLIP_LOWERLIM'], pad=P['PAD'],
+        plot=P['PLOT_PREPROC'], cache=P['CACHE'], from_cache=P['FROM_CACHE'],
+        tilesize=P['TILESIZE'], Sy=P['SY'], Sx=P['SX'])
+    train_data = Timelapse(timepoints=P['TRAIN_TIMEPOINTS'],
+                           standardize=P['STANDARDIZE'], name='train',
+                           **common)
+    if skip_test:
+        return train_data, None
+    test_data = Timelapse(timepoints=P['TEST_TIMEPOINTS'],
+                          standardize=train_data.stnd_scaler, name='test',
+                          **common)
+    return train_data, test_data
+
+
+class TrainState:
+    """Bundles model + trainable state (replaces the reference's
+    (model, loss_fn, optimizer, lr_scheduler) tuple)."""
+
+    def __init__(self, model, params, batch_stats, tx, opt_state, P):
+        self.model = model
+        self.params = params
+        self.batch_stats = batch_stats
+        self.tx = tx
+        self.opt_state = opt_state
+        self.P = P
+        self.epoch = 0
+
+    @property
+    def variables(self):
+        return {'params': self.params, 'batch_stats': self.batch_stats}
+
+    def set_epoch_lr(self, epoch):
+        """Per-epoch LR decay e^(-sqrt(E)/rate) (core_functionality.py:84)."""
+        self.epoch = epoch
+        rate = self.P['LR_DECAYRATE']
+        decay = math.e ** ((-1 / rate) * math.sqrt(epoch)) if rate else 1.0
+        self.opt_state.hyperparams['learning_rate'] = jnp.asarray(
+            self.P['LR'] * decay, jnp.float32)
+
+
+def setup_model(P):
+    """Model + loss-bound jitted steps + optimizer
+    (reference core_functionality.py:61-97)."""
+    model = build_model(P)
+    variables = init_variables(model, P, seed=P['SEED'])
+
+    def make_tx(learning_rate):
+        return optax.chain(
+            optax.add_decayed_weights(P['WEIGHT_DECAY']),
+            optax.scale_by_adam(),
+            optax.scale(-learning_rate))
+
+    tx = optax.inject_hyperparams(make_tx)(learning_rate=P['LR'])
+    opt_state = tx.init(variables['params'])
+    state = TrainState(model, variables['params'],
+                       variables.get('batch_stats', {}), tx, opt_state, P)
+
+    if P.get('LOAD_MODEL'):
+        from .checkpoint import load_checkpoint
+        load_checkpoint(P['LOAD_MODEL'], state)
+    return state
+
+
+def make_train_step(model, tx, P):
+    loss_kw = dict(Sy=P['SY'], Sx=P['SX'], lambda_obj=P['L_OBJECT'],
+                   lambda_noobj=P['L_NOBJECT'],
+                   lambda_coord_anchor=P['L_COORD_ANCHOR'])
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, X, target):
+        def loss_fn(p):
+            out, mut = model.apply({'params': p, 'batch_stats': batch_stats},
+                                   X, train=True, mutable=['batch_stats'])
+            loss, comps = yolo_loss(out, target, **loss_kw)
+            return loss, (comps, mut['batch_stats'])
+
+        (loss, (comps, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_bs, new_opt, loss, comps
+
+    @jax.jit
+    def eval_step(params, batch_stats, X, target):
+        out = model.apply({'params': params, 'batch_stats': batch_stats},
+                          X, train=False)
+        loss, comps = yolo_loss(out, target, **loss_kw)
+        return loss, comps
+
+    return train_step, eval_step
+
+
+def setup_data_loaders(P, dataset):
+    """Shuffled batch index iterator (replaces torch DataLoader,
+    reference core_functionality.py:99-107 — data is already on host arrays,
+    multiprocessing would only add copies)."""
+    n = len(dataset)
+    idx = np.arange(n)
+    if P['SHUFFLE']:
+        np.random.shuffle(idx)
+    bs = P['BATCH_SIZE']
+    n_batches = n // bs if P['DROP_LAST'] else -(-n // bs)
+    for b in range(n_batches):
+        yield idx[b * bs:(b + 1) * bs]
+
+
+def gather_batch(dataset, indices):
+    """Vectorized __getitem__ over a batch of flat indices. Returns
+    (X f32[B, ts, ts, C], target f32[B, Sx, Sy, 4]) numpy."""
+    tc = dataset.temporal_context
+    t_idx, tile_idx = np.divmod(indices, dataset.X_tiled.shape[1])
+    t_all = np.asarray(dataset.timepoints_indices)[t_idx]
+    ctx = t_all[:, None] + np.arange(-tc, tc + 1)[None, :]       # [B, C]
+    X = dataset.X_tiled[ctx, tile_idx[:, None]]                  # [B, C, ts, ts]
+    X = np.moveaxis(X, 1, -1)
+    target = dataset.target_tiled[t_all, tile_idx]
+    return X, target
+
+
+def run_epoch(data_loader, state, steps, dataset, which_dataset):
+    """Batched forward/backward over the epoch
+    (reference core_functionality.py:109-127)."""
+    train_step, eval_step = steps
+    print('LOSS: ', end='')
+    epoch_loss = []
+    for batch_idx in data_loader:
+        X, target = gather_batch(dataset, batch_idx)
+        X, target = jnp.asarray(X), jnp.asarray(target)
+        if which_dataset == 'train':
+            (state.params, state.batch_stats, state.opt_state, loss,
+             comps) = train_step(state.params, state.batch_stats,
+                                 state.opt_state, X, target)
+        else:
+            loss, comps = eval_step(state.params, state.batch_stats, X,
+                                    target)
+        epoch_loss.append(pd.Series({k: float(v) for k, v in comps.items()}))
+        print(f'{float(loss):.3f}', end='...', flush=True)
+    print('Done.')
+    return pd.concat(epoch_loss, axis=1)
+
+
+def prepare_data(dataset, max_redraws=20):
+    """Re-tile with fresh augmentation; report positive-label rate
+    (reference core_functionality.py:129-136)."""
+    dataset.construct_tiles()
+    ntiles = (dataset.tile_info[..., 0] > 0).sum()
+    npos_labels = dataset.tile_info[..., 1].sum()
+    avg_pos_rate = npos_labels / (ntiles + 1)
+    print(f' - {dataset.name} data - n_positive_labels:{int(npos_labels)} / '
+          f'ntiles:{int(ntiles)} = {avg_pos_rate:.3f} per tile - ', end='')
+    return avg_pos_rate
+
+
+def one_epoch(dataset, state, params, epoch, train=True, min_pos_rate=.65,
+              max_redraws=20):
+    """One full pass over the dataset (reference
+    core_functionality.py:139-166). ``min_pos_rate`` redraw guard is capped
+    at max_redraws (the reference loops forever on sparse data)."""
+    which_dataset = 'train' if train else 'test'
+    redraws = 0
+    while prepare_data(dataset) < min_pos_rate and redraws < max_redraws:
+        if not dataset.transform_configs:
+            break                      # no augmentation -> rate is fixed
+        print('Bad data augmentation -- Doing it again --')
+        redraws += 1
+
+    if not hasattr(state, '_steps'):
+        state._steps = make_train_step(state.model, state.tx, params)
+    loader = setup_data_loaders(params, dataset)
+    epoch_loss = run_epoch(loader, state, state._steps, dataset,
+                           which_dataset)
+    epoch_loss = epoch_loss.mean(axis=1).rename((epoch, which_dataset))
+
+    # every 10th epoch: precision/recall/F1 over the dataset
+    # (core_functionality.py:151-161)
+    if not (epoch % 10):
+        from ..detections import AxonDetections
+        step = 10 if which_dataset == 'train' else 1
+        tstart = np.random.randint(0, 10) if which_dataset == 'train' else 0
+        subset = range(min(tstart, dataset.sizet - 1), dataset.sizet, step)
+        ax_dets = AxonDetections((state.model, state.variables), dataset,
+                                 params, directory=None,
+                                 timepoint_subset=subset)
+        ax_dets.detect_dataset()
+        cnfs_mtrx = sum(ax_dets.compute_TP_FP_FN(which_dets='all', t=t)
+                        for t in range(len(ax_dets)))
+        epoch_metrics = ax_dets.compute_prc_rcl_F1(cnfs_mtrx,
+                                                   return_dataframe=True)
+        epoch_loss = pd.concat([epoch_loss, epoch_metrics]).rename(
+            (epoch, which_dataset))
+
+    if which_dataset == 'train':
+        state.set_epoch_lr(epoch + 1)
+    return epoch_loss

@@ -1,0 +1,104 @@
+"""Build the in-repo deployment bundle + example data.
+
+The reference ships deployed_model/E1000.pth + examples/example_timelapse.tif
+(both LFS-stripped in this snapshot). This script recreates that experience
+from scratch: generates a synthetic example timelapse into examples/, trains
+a compact detector on it, and packages deployed_model/ (params.json,
+train_stnd_scaler.pkl, E%04d checkpoint) so ``examples/run_example.py``
+works out of the box.
+
+Usage: python scripts/make_deployed_model.py [--epochs N] [--device cpu|tpu]
+"""
+import argparse
+import os
+import pickle
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--epochs', type=int, default=30)
+    ap.add_argument('--device', default=None)
+    ap.add_argument('--tilesize', type=int, default=256)
+    args = ap.parse_args()
+
+    if args.device == 'cpu':
+        os.environ['JAX_PLATFORMS'] = 'cpu'
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+
+    from axtrack_tpu.config import PKG_DIR
+    from axtrack_tpu.params import get_default_parameters, write_parameters
+    from axtrack_tpu.data.synthetic import write_fixture
+    from axtrack_tpu.train import engine
+    from axtrack_tpu.train.checkpoint import save_checkpoint
+
+    examples_dir = os.path.join(PKG_DIR, 'examples')
+    deployed_dir = os.path.join(PKG_DIR, 'deployed_model')
+    os.makedirs(deployed_dir, exist_ok=True)
+
+    # 1) example inference movie (the "bundled example")
+    write_fixture(examples_dir, name='example_timelapse',
+                  T=20, H=512, W=1024, n_axons=10, seed=7, n_channels=5)
+    # the example flow does not use the labels; drop to mimic unlabeled input
+    os.rename(os.path.join(examples_dir, 'example_timelapse_labels.csv'),
+              os.path.join(examples_dir, 'example_timelapse_true_labels.csv'))
+
+    # 2) training movie (different seed = different data distribution draw)
+    train_dir = os.path.join(examples_dir, '_train_data')
+    fx = write_fixture(train_dir, name='training_timelapse',
+                       T=24, H=512, W=1024, n_axons=10, seed=11,
+                       n_channels=5)
+
+    P = get_default_parameters()
+    P.update(dict(
+        TIMELAPSE_FILE=fx['tif'], LABELS_FILE=fx['labels'],
+        MASK_FILE=fx['mask'],
+        TRAIN_TIMEPOINTS=list(range(2, 20)), TEST_TIMEPOINTS=[20, 21],
+        TILESIZE=args.tilesize, BATCH_SIZE=16, CACHE=None, FROM_CACHE=None,
+        PLOT_PREPROC=True, USE_TRANSFORMS=['vflip', 'translateX'],
+        LR=1e-3, EPOCHS=args.epochs,
+        ARCHITECTURE=[
+            [(3, 16, 2, 1), (3, 32, 2, 1), (3, 32, 1, 1), 'M',
+             (3, 64, 1, 1), 'M', (3, 64, 1, 1), 'M'],
+            [('FC', 512), ('activation', 'sigmoid')],
+        ]))
+
+    train_data, test_data = engine.setup_data(P)
+    state = engine.setup_model(P)
+    for epoch in range(1, args.epochs + 1):
+        el = engine.one_epoch(train_data, state, P, epoch=epoch, train=True,
+                              min_pos_rate=0)
+        print(f"\nepoch {epoch}: loss={el['total_summed_loss']:.3f}")
+
+    # final F1 sanity report
+    from axtrack_tpu.detections import AxonDetections
+    ax = AxonDetections((state.model, state.variables), test_data, P, None)
+    ax.detect_dataset()
+    cnfs = sum(ax.compute_TP_FP_FN('all', t) for t in range(len(ax)))
+    m = ax.compute_prc_rcl_F1(cnfs)
+    idx = list(ax.all_conf_thrs).index(0.7)
+    print(f'\ntest precision/recall/F1 @0.7: {m[:, idx]}')
+
+    # 3) deployment bundle
+    P_dep = dict(P)
+    P_dep['LOAD_MODEL'] = None
+    write_parameters(os.path.join(deployed_dir, 'params.json'), P_dep)
+    with open(os.path.join(deployed_dir, 'train_stnd_scaler.pkl'),
+              'wb') as f:
+        pickle.dump(train_data.stnd_scaler, f)
+    state.epoch = args.epochs
+    save_checkpoint(state, os.path.join(deployed_dir,
+                                        f'E{args.epochs:0>4}'))
+    # preproc distribution reference for check_preproc
+    from axtrack_tpu.utils import save_preproc_metrics
+    if train_data.plot_data:
+        fn = save_preproc_metrics(deployed_dir, train_data)
+        os.rename(fn, os.path.join(deployed_dir, 'train_preproc_data.csv'))
+    print(f'\nDeployed bundle written to {deployed_dir}')
+
+
+if __name__ == '__main__':
+    main()

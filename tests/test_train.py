@@ -1,0 +1,91 @@
+"""Training engine tests: loss goes down on the synthetic fixture, the LR
+schedule matches the reference formula, checkpoints roundtrip."""
+import math
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from axtrack_tpu.params import get_default_parameters
+from axtrack_tpu.data.synthetic import write_fixture
+from axtrack_tpu.data.timelapse import Timelapse
+from axtrack_tpu.train import engine
+from axtrack_tpu.train.checkpoint import save_checkpoint, load_checkpoint
+
+
+@pytest.fixture(scope='module')
+def P(tmp_path_factory):
+    d = tmp_path_factory.mktemp('traindata')
+    fx = write_fixture(str(d), T=10, H=256, W=512, n_axons=4, seed=5,
+                       n_channels=4)
+    P = get_default_parameters()
+    P.update(dict(
+        TIMELAPSE_FILE=fx['tif'], LABELS_FILE=fx['labels'],
+        MASK_FILE=fx['mask'],
+        TRAIN_TIMEPOINTS=list(range(2, 8)), TEST_TIMEPOINTS=[2, 3],
+        TILESIZE=256, BATCH_SIZE=4, CACHE=None, FROM_CACHE=None,
+        PLOT_PREPROC=False, USE_TRANSFORMS=[], LR=2e-3,
+        ARCHITECTURE=[
+            [(3, 8, 2, 1), (3, 16, 2, 1), 'M', (3, 16, 1, 1), 'M'],
+            [('FC', 128), ('activation', 'sigmoid')],
+        ]))
+    return P
+
+
+@pytest.fixture(scope='module')
+def data(P):
+    return engine.setup_data(P)
+
+
+class TestEngine:
+    def test_setup_data_shares_scaler(self, data):
+        train, test = data
+        assert test.stnd_scaler == train.stnd_scaler
+
+    def test_loss_decreases(self, P, data):
+        train, _ = data
+        state = engine.setup_model(P)
+        losses = []
+        for epoch in range(3):
+            el = engine.one_epoch(train, state, P, epoch=epoch + 1,
+                                  train=True, min_pos_rate=0)
+            losses.append(el['total_summed_loss'])
+        assert losses[-1] < losses[0] * 0.9, losses
+
+    def test_lr_schedule_formula(self, P):
+        state = engine.setup_model(P)
+        for E in (1, 10, 100):
+            state.set_epoch_lr(E)
+            lr = float(state.opt_state.hyperparams['learning_rate'])
+            want = P['LR'] * math.e ** (-math.sqrt(E) / P['LR_DECAYRATE'])
+            np.testing.assert_allclose(lr, want, rtol=1e-6)
+
+    def test_metrics_epoch(self, P, data):
+        train, _ = data
+        state = engine.setup_model(P)
+        el = engine.one_epoch(train, state, P, epoch=0, train=False,
+                              min_pos_rate=0)
+        # epoch 0 -> includes the 13-threshold metric sweep
+        assert ('F1', 0.7) in el.index
+
+    def test_checkpoint_roundtrip(self, P, tmp_path):
+        state = engine.setup_model(P)
+        state.epoch = 7
+        save_checkpoint(state, str(tmp_path / 'E0007'))
+        state2 = engine.setup_model(P)
+        load_checkpoint(str(tmp_path), state2)
+        assert state2.epoch == 7
+        import jax
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(state2.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_gather_batch_matches_getitem(self, data):
+        train, _ = data
+        train.construct_tiles(force_no_transformation=True)
+        idx = np.array([0, 3, len(train) - 1])
+        X, tgt = engine.gather_batch(train, idx)
+        for k, i in enumerate(idx):
+            Xi, ti = train[int(i)]
+            np.testing.assert_array_equal(X[k], Xi)
+            np.testing.assert_array_equal(tgt[k], ti)
