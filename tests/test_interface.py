@@ -1,0 +1,110 @@
+"""Public-API e2e test: build a tiny deployed bundle, run the 3-step
+inference surface (setup_inference -> prepare_input_data -> inference) plus
+visualize_inference on a synthetic movie."""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+import axtrack_tpu
+from axtrack_tpu.params import get_default_parameters, write_parameters
+from axtrack_tpu.data.synthetic import write_fixture
+from axtrack_tpu.train import engine
+from axtrack_tpu.train.checkpoint import save_checkpoint
+
+
+@pytest.fixture(scope='module')
+def deployed(tmp_path_factory):
+    """Train 2 epochs on a tiny fixture -> deployment bundle dir."""
+    d = tmp_path_factory.mktemp('bundle')
+    data_dir = tmp_path_factory.mktemp('traindata')
+    fx = write_fixture(str(data_dir), name='training_timelapse',
+                       T=10, H=256, W=512, n_axons=4, seed=5, n_channels=4)
+    P = get_default_parameters()
+    P.update(dict(
+        TIMELAPSE_FILE=fx['tif'], LABELS_FILE=fx['labels'],
+        MASK_FILE=fx['mask'], TRAIN_TIMEPOINTS=list(range(2, 8)),
+        TEST_TIMEPOINTS=[2, 3], TILESIZE=256, BATCH_SIZE=4, CACHE=None,
+        FROM_CACHE=None, PLOT_PREPROC=False, USE_TRANSFORMS=[], LR=2e-3,
+        MCF_MIN_FLOW=1, MCF_MAX_FLOW=30,
+        ARCHITECTURE=[
+            [(3, 8, 2, 1), (3, 16, 2, 1), 'M', (3, 16, 1, 1), 'M'],
+            [('FC', 128), ('activation', 'sigmoid')],
+        ]))
+    train_data, _ = engine.setup_data(P, skip_test=True)
+    state = engine.setup_model(P)
+    for epoch in range(1, 3):
+        engine.one_epoch(train_data, state, P, epoch=epoch, train=True,
+                         min_pos_rate=0)
+    P2 = dict(P)
+    P2['LOAD_MODEL'] = None
+    write_parameters(str(d / 'params.json'), P2)
+    with open(d / 'train_stnd_scaler.pkl', 'wb') as f:
+        pickle.dump(train_data.stnd_scaler, f)
+    state.epoch = 2
+    save_checkpoint(state, str(d / 'E0002'))
+    return str(d)
+
+
+@pytest.fixture(scope='module')
+def inference_fixture(tmp_path_factory):
+    d = tmp_path_factory.mktemp('infdata')
+    return str(d), write_fixture(str(d), name='movie', T=8, H=256, W=512,
+                                 n_axons=4, seed=9, n_channels=4)
+
+
+class TestInterface:
+    def test_three_step_pipeline(self, deployed, inference_fixture,
+                                 tmp_path_factory):
+        data_dir, fx = inference_fixture
+        dest = str(tmp_path_factory.mktemp('out'))
+        parameters, model, stnd_scaler = axtrack_tpu.setup_inference(
+            dest, deployed_dir=deployed)
+        assert stnd_scaler[0] == 'zscore'
+        assert isinstance(model, tuple) and len(model) == 2
+
+        timelapse = axtrack_tpu.prepare_input_data(
+            'movie.tif', parameters, dest, data_dir, stnd_scaler,
+            mask_fname='movie_mask.npy', use_cached_datasets=None,
+            check_preproc=False, input_metadata={'name': 'movie'})
+        assert timelapse.sizet == 4       # 8 frames - 2*context
+
+        axon_dets = axtrack_tpu.inference(
+            timelapse, model, dest, parameters, detections_cache=None,
+            astar_paths_cache=None, assigedIDs_cache=None)
+        dets = axon_dets.IDed_dets_all
+        assert dets is not None
+        assert dets.index.name == 'axonID'
+        # 2-epoch model is weak; just require the schema + some tracking
+        assert len(dets) >= 1
+        assert dets.columns.nlevels == 2
+
+    def test_visualize_inference(self, deployed, inference_fixture,
+                                 tmp_path_factory):
+        data_dir, fx = inference_fixture
+        dest = str(tmp_path_factory.mktemp('out2'))
+        parameters, model, stnd_scaler = axtrack_tpu.setup_inference(
+            dest, deployed_dir=deployed)
+        timelapse = axtrack_tpu.prepare_input_data(
+            'movie.tif', parameters, dest, data_dir, stnd_scaler,
+            mask_fname='movie_mask.npy', use_cached_datasets=None,
+            input_metadata={'name': 'movie'})
+        axon_dets = axtrack_tpu.inference(
+            timelapse, model, dest, parameters, detections_cache=None,
+            astar_paths_cache=None, assigedIDs_cache=None)
+        axtrack_tpu.visualize_inference(
+            axon_dets, which_dets='all', animated=True, show=False,
+            t_y_x_slice=[(0, 2), None, None], dpi=60)
+        out_dir = axon_dets.dir
+        pngs = [f for f in os.listdir(out_dir) if f.endswith('.png')]
+        assert len(pngs) >= 2
+        vids = [f for f in os.listdir(out_dir)
+                if f.endswith(('.gif', '.mp4'))]
+        assert len(vids) == 1
+
+    def test_compute_astar_path_export(self):
+        wts = np.ones((30, 30), np.float32)
+        path, dist = axtrack_tpu._compute_astar_path((5, 5), (5, 15), wts)
+        assert dist == 11
+        assert path.getnnz() == 11
