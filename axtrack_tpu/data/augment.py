@@ -87,7 +87,7 @@ def transform_anchors(target, angle, flip_y, flip_x, dy, dx, sizey, sizex):
     the reference's transform_Y (data_utils.py:64-137): translate (out of
     frame -> NaN), flip about mid=(size+1)/2, rotate with round + in-bounds
     drop."""
-    target_transf = target.copy()
+    target_transf = target.astype('float64')  # NaN marks dropped anchors
     if not len(target.columns):
         return target_transf
     y_anchor = target.loc[:, (slice(None), 'anchor_y')].astype('float64')

@@ -50,7 +50,8 @@ def make_synthetic_timelapse(T=20, H=512, W=1024, n_axons=8, seed=0,
     tracks = {}
     for a in range(n_axons):
         c = centers[a % len(centers)]
-        x0 = float(rng.uniform(60, W * 0.35))
+        lo = min(60, W * 0.1)
+        x0 = float(rng.uniform(lo, max(W * 0.35, lo + 1)))
         y0 = float(c + rng.uniform(-8, 8))
         v = float(rng.uniform(*speed))
         xs, ys = [], []

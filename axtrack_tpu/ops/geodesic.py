@@ -22,6 +22,7 @@ Sweeps repeat until fixpoint (a sweep resolves one monotone "leg" of every
 geodesic, so iterations ~ number of path direction reversals, small for
 microchannel masks).
 """
+import os
 from functools import partial
 
 import jax
@@ -88,6 +89,21 @@ def _distance_map_from(passable, src_yx, max_sweeps=8):
     d = _sweep(d, p)
     d, _, _ = jax.lax.while_loop(cond, body, (d, jnp.full_like(d, -1.0), 1))
     return d
+
+
+def batched_windows(passable_padded, srcs_yx, window, max_sweeps=8):
+    """Distance maps for N sources — dispatches to the Pallas kernel on TPU
+    (geodesic_pallas.py) and the pure-lax implementation elsewhere. Both are
+    parity-tested against the C++ oracle. Override with
+    AXTRACK_GEODESIC_BACKEND={pallas,lax}."""
+    backend = os.environ.get('AXTRACK_GEODESIC_BACKEND')
+    use_pallas = (backend == 'pallas'
+                  or (backend is None and jax.default_backend() == 'tpu'))
+    if use_pallas:
+        from .geodesic_pallas import batched_windows_pallas
+        return batched_windows_pallas(passable_padded, srcs_yx, window,
+                                      max_sweeps=max_sweeps)
+    return _batched_windows(passable_padded, srcs_yx, window, max_sweeps)
 
 
 @partial(jax.jit, static_argnames=('window', 'max_sweeps'))
@@ -157,7 +173,7 @@ def geodesic_pairwise(mask, sources_yx, targets_yx, max_dist=500,
     padded = jnp.pad(mask, ((0, pad_h), (0, pad_w)))
     srcs = jnp.asarray(sources_yx, jnp.int32).reshape(-1, 2)
     tgts = jnp.asarray(targets_yx, jnp.int32).reshape(-1, 2)
-    dmaps, origins = _batched_windows(padded, srcs, window, max_sweeps)
+    dmaps, origins = batched_windows(padded, srcs, window, max_sweeps)
     return _gather_targets(dmaps, origins, tgts, jnp.float32(max_dist),
                            window)
 

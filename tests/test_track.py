@@ -1,0 +1,161 @@
+"""Tracking-layer tests: cost models, MOT metrics, tracker semantics."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from axtrack_tpu.track import costs as C
+from axtrack_tpu.track.motmetrics_lite import mot_metrics
+from axtrack_tpu.track.tracker import assign_identities
+
+
+class TestCosts:
+    def test_observation_log_odds(self):
+        # conf .5 -> beta .5 -> cost ~ 0; conf .99 -> strongly negative
+        c = C.observation_costs([0.5, 0.99, 0.1], max_conf_cost=4.6)
+        assert abs(c[0]) < 1e-4
+        assert c[1] < -4
+        assert c[2] > 2
+        # clamp at +-max (conf 1 -> beta 1e-6 -> log-odds ~ -13.8 -> -4.6)
+        c = C.observation_costs([1.0], max_conf_cost=4.6)
+        assert c[0] == -4.6
+
+    def test_transition_cost_formula(self):
+        d = np.array([[1.0, 250.0, 500.0]])
+        c = C.transition_costs(d, miss_rate=0.6, time_gap=1,
+                               max_px_assoc_dist=500)
+        np.testing.assert_allclose(c[0, 0], -np.log(1 - 1 / 500 + 1e-6),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(c[0, 1], -np.log(0.5 + 1e-6), rtol=1e-6)
+        assert np.isinf(c[0, 2])             # unreachable -> inf
+
+    def test_transition_gap_miss_rate(self):
+        d = np.array([[100.0]])
+        c1 = C.transition_costs(d, 0.6, 1, 500)
+        c2 = C.transition_costs(d, 0.6, 2, 500)
+        np.testing.assert_allclose(
+            float(c2 - c1), -np.log(0.6), rtol=1e-3)
+
+    def test_conf_capping(self):
+        np.testing.assert_allclose(
+            C.cap_confidences([0.5, 1.4], 'ceil'), [0.5, 1.0])
+        np.testing.assert_allclose(
+            C.cap_confidences([0.5, 1.4], 'scale_to_max'),
+            [0.5 / 1.4, 1.0])
+
+    def test_histogram_features_and_bhattacharyya(self, rng):
+        img = rng.random((100, 100)).astype(np.float32)
+        boxes = np.array([[10, 10, 20, 20], [50, 50, 20, 20],
+                          [10, 10, 20, 20]])
+        f = C.box_histogram_features(img, boxes, n_bins=32)
+        assert f.shape == (3, 32)
+        assert f.max() == 1.0
+        sim = C.bhattacharyya_similarity(f, f)
+        # identical boxes -> similarity ~1 on the diagonal pairs (0,2)
+        assert sim[0, 2] > 0.99
+        assert sim[0, 0] > 0.99
+
+
+class TestMotMetricsLite:
+    def _df(self, rows):
+        """rows: (frame, id, x, y)"""
+        df = pd.DataFrame(rows, columns=['FrameId', 'Id', 'X', 'Y'])
+        df['Width'] = 70
+        df['Height'] = 70
+        return df.set_index(['FrameId', 'Id'])
+
+    def test_perfect_tracking(self):
+        gt = self._df([(t, i, 10 * i, 5 * t) for t in range(5)
+                       for i in range(3)])
+        res = mot_metrics(gt, gt, distth=529)
+        assert res['mota'] == 1.0
+        assert res['idf1'] == 1.0
+        assert res['num_switches'] == 0
+        assert res['mostly_tracked'] == 3
+
+    def test_id_switch_detected(self):
+        gt = self._df([(t, i, 100 * i, 0) for t in range(4)
+                       for i in range(2)])
+        # pred swaps ids halfway
+        pred_rows = []
+        for t in range(4):
+            for i in range(2):
+                pid = i if t < 2 else 1 - i
+                pred_rows.append((t, pid, 100 * i, 0))
+        pred = self._df(pred_rows)
+        res = mot_metrics(gt, pred, distth=529)
+        assert res['num_switches'] == 2
+        assert res['idf1'] < 1.0
+        assert res['mota'] == 1.0 - 2 / 8
+
+    def test_misses_and_fp(self):
+        gt = self._df([(t, 0, 0, 0) for t in range(4)])
+        pred = self._df([(t, 0, 0, 0) for t in range(2)]
+                        + [(3, 5, 400, 400)])
+        res = mot_metrics(gt, pred, distth=529)
+        assert res['num_misses'] == 2
+        assert res['num_false_positives'] == 1
+        assert res['mostly_lost'] == 0 and res['partially_tracked'] == 1
+
+
+class TestTracker:
+    def _params(self, **over):
+        p = dict(MCF_EDGE_COST_THR=0.7, MCF_ENTRY_EXIT_COST=2,
+                 MCF_MISS_RATE=0.6, MCF_MAX_NUM_MISSES=1, MCF_MIN_FLOW=1,
+                 MCF_MAX_FLOW=50, MCF_MAX_CONF_COST=4.6,
+                 MCF_VIS_SIM_WEIGHT=0,
+                 MCF_CONF_CAPPING_METHOD='scale_to_max')
+        p.update(over)
+        return p
+
+    def _frame(self, *pts):
+        pts = np.asarray(pts, float).reshape(-1, 2)
+        return {'conf': np.full(len(pts), 0.95, np.float32),
+                'x': pts[:, 0].astype(np.int32),
+                'y': pts[:, 1].astype(np.int32)}
+
+    def test_straight_tracks(self):
+        frames = [self._frame((10, 10), (10, 200)),
+                  self._frame((20, 10), (20, 200)),
+                  self._frame((30, 10), (30, 200))]
+        dists = {}
+        for t in (1, 2):
+            # dist matrix between frame t-1 and t dets: diag small
+            dists[(t, 1)] = np.array([[12., 500.], [500., 12.]])
+        dists[(2, 2)] = np.array([[22., 500.], [500., 22.]])
+        res = assign_identities(frames, dists, self._params())
+        assert len(res.trajectories) == 2
+        for traj in res.trajectories:
+            assert [t for t, _ in traj] == [0, 1, 2]
+
+    def test_gap_bridged(self):
+        """Missing detection in the middle frame -> gap-2 edge links it."""
+        frames = [self._frame((10, 10)), self._frame(),
+                  self._frame((30, 10))]
+        dists = {(1, 1): np.zeros((1, 0), np.float32),
+                 (2, 1): np.zeros((0, 1), np.float32),
+                 (2, 2): np.array([[22.]])}
+        res = assign_identities(frames, dists, self._params())
+        assert len(res.trajectories) == 1
+        assert [t for t, _ in res.trajectories[0]] == [0, 2]
+
+    def test_edge_cost_threshold_prunes(self):
+        """Far transitions above the cost threshold split the track."""
+        frames = [self._frame((10, 10)), self._frame((480, 10))]
+        dists = {(1, 1): np.array([[470.]])}   # cost ~ -log(0.06) = 2.8
+        res = assign_identities(frames, dists, self._params())
+        assert len(res.trajectories) == 2      # two singletons
+
+    def test_infeasible_min_flow_returns_none(self):
+        frames = [self._frame((10, 10))]
+        res = assign_identities(frames, {}, self._params(MCF_MIN_FLOW=5))
+        assert res is None
+
+    def test_low_conf_not_worth_tracking(self):
+        """Detections whose obs reward < entry+exit cost stay untracked
+        unless min_flow forces them."""
+        frames = [{'conf': np.array([0.56], np.float32),
+                   'x': np.array([10], np.int32),
+                   'y': np.array([10], np.int32)}]
+        res = assign_identities(frames, {}, self._params(
+            MCF_MIN_FLOW=0, MCF_CONF_CAPPING_METHOD='ceil'))
+        assert len(res.trajectories) == 0
