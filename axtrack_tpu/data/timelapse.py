@@ -290,7 +290,19 @@ class Timelapse:
         K = len(self._tile_flat_idx)
         T_all = tiles.shape[0]
         flat = tiles.reshape(T_all, self.ytiles * self.xtiles, ts, ts)
-        self.X_tiled = np.asarray(flat[:, self._tile_flat_idx])
+        if self.use_motion_filtered == 'exclude':
+            self.X_tiled = np.asarray(flat[:, self._tile_flat_idx])
+        else:
+            # motion modes: stack (img?, pos, neg) color channels per tile
+            # (reference keeps X as [T, 3, H, W], Timelapse.py:426-433)
+            chans = [] if self.use_motion_filtered == 'only' else [flat]
+            for mseq in (self.p_motion_seq, self.n_motion_seq):
+                mt = TL.tile_frames(jnp.asarray(mseq), ts)
+                chans.append(mt.reshape(T_all, self.ytiles * self.xtiles,
+                                        ts, ts))
+            stacked = jnp.stack([c[:, self._tile_flat_idx] for c in chans],
+                                axis=2)           # [T_all, K, C_col, ts, ts]
+            self.X_tiled = np.asarray(stacked)
 
         # targets: scatter anchors into the YOLO grid, then gather kept tiles
         anchors_yx, axon_ids, t_idx, valid = frame_labels_from_dataframe(
@@ -339,7 +351,9 @@ class Timelapse:
         t_idx, tile_idx = self.unfold_idx(idx)
         t_all = self.timepoints_indices[t_idx]
         tc = self.temporal_context
-        X = self.X_tiled[t_all - tc:t_all + tc + 1, tile_idx]   # [C, ts, ts]
+        X = self.X_tiled[t_all - tc:t_all + tc + 1, tile_idx]
+        if X.ndim == 4:      # motion modes: [5, C_col, ts, ts] -> frame-major
+            X = X.reshape(-1, *X.shape[-2:])
         X = np.moveaxis(X, 0, -1)                               # NHWC
         return X, self.target_tiled[t_all, tile_idx]
 
@@ -348,8 +362,13 @@ class Timelapse:
         (reference Timelapse.py:150-157). Returns jnp arrays."""
         t_all = self.timepoints_indices[timepoint]
         tc = self.temporal_context
-        X = self.X_tiled[t_all - tc:t_all + tc + 1]             # [C, K, ts, ts]
-        X = np.moveaxis(X, 0, -1)                               # [K, ts, ts, C]
+        X = self.X_tiled[t_all - tc:t_all + tc + 1]
+        if X.ndim == 5:      # motion modes: [5, K, C_col, ts, ts]
+            # -> [K, 5*C_col, ts, ts], frame-major channel order
+            X = np.moveaxis(X, 1, 0).reshape(X.shape[1], -1, *X.shape[-2:])
+            X = np.moveaxis(X, 1, -1)
+        else:
+            X = np.moveaxis(X, 0, -1)                           # [K, ts, ts, C]
         return jnp.asarray(X), jnp.asarray(self.target_tiled[t_all])
 
     def get_frame_image(self, timepoint):

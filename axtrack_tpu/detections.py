@@ -385,9 +385,9 @@ class AxonDetections:
                     continue
                 tgts = jnp.stack([jnp.asarray(dets[t]['y']),
                                   jnp.asarray(dets[t]['x'])], -1)
-                D = G._gather_targets(dmaps, origins, tgts,
-                                      jnp.float32(self.max_px_assoc_dist),
-                                      window)
+                D = G.gather_targets(dmaps, origins, tgts,
+                                     jnp.float32(self.max_px_assoc_dist),
+                                     window)
                 astar_dists[(t, gap)] = np.asarray(D)
             print(f'frame {s}...', end='', flush=True)
         print('Done.')
@@ -547,3 +547,17 @@ class AxonDetections:
         results = pd.concat(results, axis=1).T
         results.to_csv(f'{self.dir}/MCF_params_results.csv')
         return results
+
+
+def _reconstruct_axons(self):
+    """-- Not implemented -- (parity stub; the reference ships the same
+    unimplemented stub, AxonDetections.py:924-930)."""
+    raise NotImplementedError
+
+
+def get_axon_reconstructions(self, t=None, axon_name=None,
+                             include_history=True, interpolate_missing=True,
+                             ymin=0, ymax=0):
+    """-- Not implemented -- (parity stub, reference
+    AxonDetections.py:932-935)."""
+    raise NotImplementedError

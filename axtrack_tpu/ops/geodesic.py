@@ -127,6 +127,21 @@ def _batched_windows(passable_padded, srcs_yx, window, max_sweeps):
     return jax.vmap(one)(srcs_yx)
 
 
+def gather_targets(dmaps, origins, tgts_yx, max_dist, window):
+    """Shape-bucketed wrapper around _gather_targets: pads the target count
+    to a power of two (variable per-frame detection counts would otherwise
+    recompile per shape). Padded targets use (-1,-1) -> outside window ->
+    capped, then sliced away."""
+    tgts = jnp.asarray(tgts_yx, jnp.int32).reshape(-1, 2)
+    M = tgts.shape[0]
+    Mp = 8
+    while Mp < M:
+        Mp *= 2
+    tgts_p = jnp.pad(tgts, ((0, Mp - M), (0, 0)), constant_values=-10**6)
+    out = _gather_targets(dmaps, origins, tgts_p, max_dist, window)
+    return out[:, :M]
+
+
 @partial(jax.jit, static_argnames=('window',))
 def _gather_targets(dmaps, origins, tgts_yx, max_dist, window):
     """Read target distances from each source's window.

@@ -15,8 +15,8 @@ absorb propagation. Semantics contract identical to native/astar.cpp and
 ops/geodesic.py (parity-tested).
 
 Layout: 8 sources per program -> row ops are [8, W] tiles (full VPU
-sublanes). Mask crops travel as int8 (2.1MB at W=512) so crop + f32
-distance map (8.4MB) fit VMEM together.
+sublanes). Crops are f32 0/1 flags (v5e Mosaic supports neither int8
+compares nor int8 max), so crop + distance map need 2x8.4MB VMEM at W=512.
 """
 from functools import partial
 
@@ -45,8 +45,9 @@ def _row_relax(c, k, W):
                 cs = pltpu.roll(cc, shift=W - s, axis=1)   # roll by -s
                 ks = pltpu.roll(kk, shift=W - s, axis=1)
                 edge = col >= W - s
-            cs = jnp.where(edge, jnp.float32(INF), cs)
-            ks = jnp.where(edge, jnp.float32(0.0), ks)
+            ef = edge.astype(jnp.float32)
+            cs = cs * (1.0 - ef) + jnp.float32(INF) * ef
+            ks = ks * (1.0 - ef)
             cc = jnp.minimum(cc, cs + kk)
             kk = jnp.minimum(ks + kk, jnp.float32(INF))
             s *= 2
@@ -60,44 +61,65 @@ def _chamfer_kernel(src_ref, crop_ref, d_ref, *, window, max_sweeps):
 
     src_ref: SMEM i32[N_total, 2] local (y, x) of every source (scalar
       prefetch; indexed by program).
-    crop_ref: VMEM i8[SRC_BLOCK, W, W], 1 = passable.
+    crop_ref: VMEM f32[SRC_BLOCK, W, W], 1.0 = passable.
     d_ref: VMEM f32[SRC_BLOCK, W, W] output (steps; INF unreachable).
     """
     W = window
     B = SRC_BLOCK
     prog = pl.program_id(0)
 
-    yy = jax.lax.broadcasted_iota(jnp.int32, (B, W, W), 1)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (B, W, W), 2)
-    sy = jnp.stack([src_ref[prog * B + b, 0] for b in range(B)]
-                   ).reshape(B, 1, 1)
-    sx = jnp.stack([src_ref[prog * B + b, 1] for b in range(B)]
-                   ).reshape(B, 1, 1)
-    is_src = (yy == sy) & (xx == sx)
-    # source cell forced passable (A* ignores the start cell's weight —
-    # see astar.cpp contract); d = 0 at sources, INF elsewhere
-    passable = (crop_ref[:] > 0) | is_src
-    crop_ref[:] = passable.astype(jnp.int8)
-    d_ref[:] = jnp.where(is_src, jnp.float32(0.0), jnp.float32(INF))
+    yy = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+    # d = 0 at sources, INF elsewhere. Sources were already forced passable
+    # in the crops by the caller (A* ignores the start cell's weight — see
+    # astar.cpp contract). Per-source 2D ops: Mosaic cannot assemble
+    # (B,1,1) vectors from SMEM scalars.
+    for b in range(B):
+        sy = src_ref[prog * B + b, 0]
+        sx = src_ref[prog * B + b, 1]
+        is_src = ((yy == sy) & (xx == sx))
+        d_ref[b] = (1.0 - is_src.astype(jnp.float32)) * jnp.float32(INF)
+
+    # rows are processed in blocks of RB: VMEM loads/stores need provably
+    # aligned dynamic indices (Mosaic cannot tile an arbitrary dynamic row
+    # offset), and slab-wise access amortizes ref traffic — the 32
+    # Gauss-Seidel rows inside a slab run on register values.
+    RB = 32
+    n_blocks = W // RB
+
+    def relax_slab(d_slab, p_slab, prev, reverse):
+        rows = []
+        order = range(RB - 1, -1, -1) if reverse else range(RB)
+        for r in order:
+            d_row = d_slab[:, r, :]
+            pf = p_slab[:, r, :]
+            blockedf = 1.0 - pf
+            cand = jnp.minimum(d_row, prev + 1.0)
+            k = pf + blockedf * jnp.float32(INF)
+            c = cand * pf + blockedf * jnp.float32(INF)
+            new = _row_relax(c, k, W)
+            new = new * pf + blockedf * jnp.float32(INF)
+            rows.append(new[:, None, :])
+            prev = new
+        if reverse:
+            rows = rows[::-1]
+        return jnp.concatenate(rows, axis=1), prev
 
     def sweep(_s, carry):
-        def make_row_step(reverse):
-            def row_step(i, prev):
-                y = W - 1 - i if reverse else i
-                d_row = d_ref[:, y, :]
-                p_row = crop_ref[:, y, :] > 0
-                cand = jnp.minimum(d_row, prev + 1.0)
-                k = jnp.where(p_row, jnp.float32(1.0), jnp.float32(INF))
-                c = jnp.where(p_row, cand, jnp.float32(INF))
-                new = _row_relax(c, k, W)
-                new = jnp.where(p_row, new, jnp.float32(INF))
-                d_ref[:, y, :] = new
-                return new
-            return row_step
+        def blk_step(reverse):
+            def step(i, prev):
+                blk = n_blocks - 1 - i if reverse else i
+                base = pl.multiple_of(blk * RB, RB)
+                d_slab = d_ref[:, pl.ds(base, RB), :]
+                p_slab = crop_ref[:, pl.ds(base, RB), :]
+                new_slab, prev = relax_slab(d_slab, p_slab, prev, reverse)
+                d_ref[:, pl.ds(base, RB), :] = new_slab
+                return prev
+            return step
 
         init = jnp.full((B, W), INF, jnp.float32)
-        jax.lax.fori_loop(0, W, make_row_step(False), init)
-        jax.lax.fori_loop(0, W, make_row_step(True), init)
+        jax.lax.fori_loop(0, n_blocks, blk_step(False), init)
+        jax.lax.fori_loop(0, n_blocks, blk_step(True), init)
         return carry
 
     jax.lax.fori_loop(0, max_sweeps, sweep, jnp.int32(0))
@@ -113,18 +135,23 @@ def batched_windows_pallas(passable_padded, srcs_yx, window, max_sweeps=4,
     Hp, Wp = passable_padded.shape
     srcs = jnp.asarray(srcs_yx, jnp.int32).reshape(-1, 2)
     N = srcs.shape[0]
-    n_pad = -N % SRC_BLOCK
-    srcs_p = jnp.pad(srcs, ((0, n_pad), (0, 0)))
-    Np = srcs_p.shape[0]
+    # bucket N to powers of two (>= SRC_BLOCK): detection counts vary per
+    # frame and each distinct shape would otherwise recompile the kernel
+    Np = SRC_BLOCK
+    while Np < N:
+        Np *= 2
+    srcs_p = jnp.pad(srcs, ((0, Np - N), (0, 0)))
 
     oy = jnp.clip(srcs_p[:, 0] - window // 2, 0, Hp - window)
     ox = jnp.clip(srcs_p[:, 1] - window // 2, 0, Wp - window)
     origins = jnp.stack([oy, ox], -1)
     local = srcs_p - origins
 
-    p8 = passable_padded.astype(jnp.int8)
+    pf32 = passable_padded.astype(jnp.float32)
     crops = jax.vmap(lambda o: jax.lax.dynamic_slice(
-        p8, (o[0], o[1]), (window, window)))(origins)
+        pf32, (o[0], o[1]), (window, window)))(origins)
+    # force each source cell passable (start-cell weight is ignored)
+    crops = crops.at[jnp.arange(Np), local[:, 0], local[:, 1]].set(1.0)
 
     grid = Np // SRC_BLOCK
     dmaps = pl.pallas_call(

@@ -34,108 +34,115 @@ def log(msg):
 
 
 def tpu_pipeline(frames, mask, P, model, variables, n_frames):
-    """Jitted TPU path: preproc -> tile -> CNN -> decode -> NMS per frame,
-    then geodesic + MCF association. Returns (elapsed_s, per-stage dict).
+    """TPU path as TWO whole-movie jitted programs.
 
-    Each stage is ONE jitted program (per-op eager dispatch costs a
-    compilation round-trip through the TPU tunnel)."""
+    Program 1 (detect_movie): uint16 frames in -> normalize -> fused preproc
+    -> tile -> lax.map over frames (CNN -> decode -> NMS) -> fixed-size
+    detection arrays. Program 2 (assoc_movie): mask + all detections in ->
+    batched Pallas wavefront maps for every detection -> per-pair distance
+    gathers, all on-device. Host only runs the MCF solve.
+
+    Rationale: host<->device transfers are the scarce resource (the movie is
+    77MB/frame; on tunneled TPUs argument buffers ship per call), so the
+    whole movie crosses once as uint16 and only tiny detection/distance
+    arrays come back. This is the production-correct structure regardless of
+    tunneling.
+
+    Returns (elapsed_s, per-stage dict, n_tracks)."""
     import jax
     import jax.numpy as jnp
     from functools import partial
     from axtrack_tpu.ops import preproc as PP, tiling as TL
     from axtrack_tpu.ops.decode import decode_tiled, distance_nms
     from axtrack_tpu.ops import geodesic as G
+    from axtrack_tpu.ops.geodesic_pallas import batched_windows_pallas
     from axtrack_tpu.models.yolo import detect_axons
     from axtrack_tpu.track import tracker
 
     ts = P['TILESIZE']
-    # tile occupancy from the segmentation mask, host-side (static)
+    MAXD = 64      # realistic detection density (the reference tracks ~40
+    #                axons); random-weight nets saturate any cap
     ny, nx = TL.n_tiles(mask.shape[0], ts), TL.n_tiles(mask.shape[1], ts)
     mpad = np.zeros((ny * ts, nx * ts), bool)
     mpad[:mask.shape[0], :mask.shape[1]] = mask
     keep = mpad.reshape(ny, ts, nx, ts).any((1, 3))
     flat, tyx = TL.tile_index_table(keep)
-
-    @partial(jax.jit, static_argnames=())
-    def preproc_and_tile(x, m, flat_idx):
-        var, _m_, _x_ = PP.nonzero_stats(x)
-        var = jnp.mean(_m_)
-        proc = PP.preprocess_frames(x, m, 0.0, 55 / 2 ** 16, var)
-        tiles = TL.tile_frames(proc, ts)
-        T_all = tiles.shape[0]
-        return tiles.reshape(T_all, ny * nx, ts, ts)[:, flat_idx]
-
-    t0 = time.perf_counter()
-    flat_tiles = preproc_and_tile(jnp.asarray(frames), jnp.asarray(mask),
-                                  jnp.asarray(flat))
-    jax.block_until_ready(flat_tiles)
-    t_preproc = time.perf_counter() - t0
-    log(f'preproc+tile done in {t_preproc:.2f}s, '
-        f'{flat_tiles.shape[1]} tiles/frame')
-
-    tile_yx = jnp.asarray(tyx)
+    frames_u16 = (np.clip(frames, 0, 1) * 65535).astype(np.uint16)
+    centers = np.arange(2, 2 + n_frames, dtype=np.int32)
 
     @jax.jit
-    def frame_step(flat_tiles, t):
-        Xc = jax.lax.dynamic_slice_in_dim(flat_tiles, t - 2, 5, axis=0)
-        Xc = jnp.moveaxis(Xc, 0, -1)
-        grid = detect_axons(model, variables, Xc)
-        # top-64 by conf: realistic detection density (the reference
-        # workload tracks ~40 axons); random-weight nets would
-        # otherwise saturate the cap and distort association load
-        dets = decode_tiled(grid, tile_yx, 0.55, ts, max_dets=64)
-        alive = distance_nms(dets['conf'], dets['x'], dets['y'],
-                             dets['valid'], P['NON_MAX_SUPRESSION_DIST'])
-        return dets, alive
+    def detect_movie(fr_u16, m, flat_idx, tile_yx):
+        x = fr_u16.astype(jnp.float32) / 65535.0
+        _, std, _ = PP.nonzero_stats(x)
+        proc = PP.preprocess_frames(x, m, 0.0, 55 / 2 ** 16, jnp.mean(std))
+        tiles = TL.tile_frames(proc, ts)
+        T_all = tiles.shape[0]
+        flat_tiles = tiles.reshape(T_all, ny * nx, ts, ts)[:, flat_idx]
 
-    centers = list(range(2, 2 + n_frames))
+        def per_frame(t):
+            Xc = jax.lax.dynamic_slice_in_dim(flat_tiles, t - 2, 5, axis=0)
+            Xc = jnp.moveaxis(Xc, 0, -1)
+            grid = detect_axons(model, variables, Xc)
+            dets = decode_tiled(grid, tile_yx, 0.55, ts, max_dets=MAXD)
+            alive = distance_nms(dets['conf'], dets['x'], dets['y'],
+                                 dets['valid'], P['NON_MAX_SUPRESSION_DIST'])
+            return dets['conf'], dets['x'], dets['y'], alive
+
+        return jax.lax.map(per_frame, jnp.asarray(centers))
+
     t0 = time.perf_counter()
-    frame_dets = []
-    for t in centers:
-        dets, alive = frame_step(flat_tiles, t)
-        keep_m = np.asarray(alive)
-        frame_dets.append({
-            'conf': np.asarray(dets['conf'])[keep_m].astype(np.float32),
-            'x': np.asarray(dets['x'])[keep_m].astype(np.int32),
-            'y': np.asarray(dets['y'])[keep_m].astype(np.int32)})
+    conf, xs, ys, alive = jax.tree.map(
+        np.asarray, detect_movie(jnp.asarray(frames_u16), jnp.asarray(mask),
+                                 jnp.asarray(flat), jnp.asarray(tyx)))
     t_detect = time.perf_counter() - t0
-    log(f'detect done in {t_detect:.2f}s '
+    frame_dets = []
+    for i in range(n_frames):
+        k = alive[i]
+        frame_dets.append({'conf': conf[i][k].astype(np.float32),
+                           'x': xs[i][k].astype(np.int32),
+                           'y': ys[i][k].astype(np.int32)})
+    log(f'detect_movie done in {t_detect:.2f}s '
         f'({[len(d["conf"]) for d in frame_dets]} dets/frame)')
 
-    # association: geodesic distances + MCF. Window 512 covers the
-    # effective association radius at default MCF_EDGE_COST_THR=0.7
-    # (d_eff ~ 252 px; farther edges are pruned by the tracker either way —
-    # see detections._compute_detections_astar_dists).
-    t0 = time.perf_counter()
+    # association distances: window 512 covers the effective radius at
+    # default MCF_EDGE_COST_THR=0.7 (see detections module)
     window = 512
-    m = jnp.asarray(mask)
-    Hp = max(window - m.shape[0], 0)
-    Wp = max(window - m.shape[1], 0)
-    padded = jnp.pad(m, ((0, Hp), (0, Wp)))
-    use_pallas = jax.default_backend() == 'tpu'
-    if use_pallas:
-        from axtrack_tpu.ops.geodesic_pallas import batched_windows_pallas
-    astar_dists = {}
-    for s in range(n_frames - 1):
-        if not len(frame_dets[s]['conf']):
-            continue
-        srcs = jnp.stack([jnp.asarray(frame_dets[s]['y']),
-                          jnp.asarray(frame_dets[s]['x'])], -1)
-        if use_pallas:
-            dmaps, origins = batched_windows_pallas(padded, srcs, window, 6)
-        else:
-            dmaps, origins = G._batched_windows(padded, srcs, window, 6)
-        for gap in (1, 2):
+    max_sweeps = 6
+    pairs = [(s, gap) for s in range(n_frames - 1) for gap in (1, 2)
+             if s + gap < n_frames]
+
+    @jax.jit
+    def assoc_movie(m, src_y, src_x, src_valid):
+        Hp = max(window - m.shape[0], 0)
+        Wp = max(window - m.shape[1], 0)
+        padded = jnp.pad(m, ((0, Hp), (0, Wp)))
+        # invalid dets -> far off-frame coords -> capped distances
+        bad = jnp.int32(-10 ** 6)
+        yy = jnp.where(src_valid, src_y, bad).reshape(-1)
+        xx = jnp.where(src_valid, src_x, bad).reshape(-1)
+        srcs = jnp.stack([yy, xx], -1)               # [n_frames*MAXD, 2]
+        dmaps, origins = batched_windows_pallas(padded, srcs, window,
+                                                max_sweeps=max_sweeps)
+        out = []
+        for (s, gap) in pairs:
             t = s + gap
-            if t >= n_frames or not len(frame_dets[t]['conf']):
-                continue
-            tgts = jnp.stack([jnp.asarray(frame_dets[t]['y']),
-                              jnp.asarray(frame_dets[t]['x'])], -1)
-            D = G._gather_targets(dmaps, origins, tgts, jnp.float32(500),
-                                  window)
-            astar_dists[(t, gap)] = np.asarray(D)
+            sl = slice(s * MAXD, (s + 1) * MAXD)
+            tg = jnp.stack([yy[t * MAXD:(t + 1) * MAXD],
+                            xx[t * MAXD:(t + 1) * MAXD]], -1)
+            out.append(G._gather_targets(dmaps[sl], origins[sl], tg,
+                                         jnp.float32(500), window))
+        return jnp.stack(out)                        # [n_pairs, MAXD, MAXD]
+
+    t0 = time.perf_counter()
+    D_all = np.asarray(assoc_movie(
+        jnp.asarray(mask), jnp.asarray(ys), jnp.asarray(xs),
+        jnp.asarray(alive)))
+    astar_dists = {}
+    for k, (s, gap) in enumerate(pairs):
+        t = s + gap
+        astar_dists[(t, gap)] = D_all[k][alive[s]][:, alive[t]]
     t_geodesic = time.perf_counter() - t0
-    log(f'geodesic done in {t_geodesic:.2f}s')
+    log(f'assoc_movie done in {t_geodesic:.2f}s')
 
     t0 = time.perf_counter()
     mcf_params = {k: P[k] for k in P if k.startswith('MCF_')}
@@ -144,8 +151,7 @@ def tpu_pipeline(frames, mask, P, model, variables, n_frames):
     result = tracker.assign_identities(frame_dets, astar_dists, mcf_params)
     t_mcf = time.perf_counter() - t0
 
-    stages = {'preproc': t_preproc, 'detect': t_detect,
-              'geodesic': t_geodesic, 'mcf': t_mcf}
+    stages = {'detect': t_detect, 'geodesic': t_geodesic, 'mcf': t_mcf}
     n_tracks = len(result.trajectories) if result else 0
     return sum(stages.values()), stages, n_tracks
 
