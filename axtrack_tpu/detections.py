@@ -113,9 +113,15 @@ class AxonDetections:
                              dets['valid'], self.nms_min_dist)
         return dets, alive
 
-    def detect_dataset(self, cache=None):
+    def detect_dataset(self, cache=None, chunk_frames=16):
         """Run the detector over all frames (reference
-        AxonDetections.py:87-139)."""
+        AxonDetections.py:87-139).
+
+        CNN models run the fused whole-movie path: frame chunks cross to the
+        device once and lax.map fuses CNN+decode+NMS per frame inside one
+        jitted program (intermediates never leave HBM). Callable oracle
+        models fall back to the per-frame loop.
+        """
         self.dataset.construct_tiles(force_no_transformation=True)
 
         if cache == 'from':
@@ -124,22 +130,16 @@ class AxonDetections:
             self._det_tile_idx = self._cache.load('_det_tile_idx')
             return
 
-        tile_yx = jnp.asarray(self.dataset._tile_yx)
-        post = jax.jit(partial(self._postprocess,
-                               conf_thr=float(self.all_conf_thrs.min())))
+        print(f'Detecting axons in {self.dataset.name} data: ', end='\n')
+        if isinstance(self.model, tuple):
+            results = self._detect_fused(chunk_frames)
+        else:
+            results = self._detect_per_frame()
+
         self._yolo_targets = []
         self._detections = []
         self._det_tile_idx = []
-        print(f'Detecting axons in {self.dataset.name} data: ', end='\n')
-        for t in self.timepoint_subset:
-            print(f'frame {t}/{len(self) - 1}', end='...', flush=True)
-            X, yolo_target = self.dataset.get_frametiles_stack(t)
-            grid = self._infer_grid(t, X)
-            dets, alive = post(grid, tile_yx)
-            conf = np.asarray(dets['conf'])
-            x = np.asarray(dets['x'])
-            y = np.asarray(dets['y'])
-            keep = np.asarray(alive)
+        for (conf, x, y, keep, yolo_target) in results:
             det = pd.DataFrame({
                 'conf': conf[keep].astype(np.float32),
                 'anchor_x': x[keep].astype(np.int64),
@@ -152,13 +152,75 @@ class AxonDetections:
             tx = np.clip(x[keep] // self.tilesize, 0,
                          self.dataset.xtiles - 1).astype(int)
             self._det_tile_idx.append(ty * self.dataset.xtiles + tx)
-            self._yolo_targets.append(np.asarray(yolo_target))
+            self._yolo_targets.append(yolo_target)
         print('Done.\n', flush=True)
 
         if cache == 'to':
             self._cache.save('_yolo_targets', self._yolo_targets)
             self._cache.save('_detections', self._detections)
             self._cache.save('_det_tile_idx', self._det_tile_idx)
+
+    def _detect_per_frame(self):
+        """Per-frame loop (oracle/test models)."""
+        tile_yx = jnp.asarray(self.dataset._tile_yx)
+        post = jax.jit(partial(self._postprocess,
+                               conf_thr=float(self.all_conf_thrs.min())))
+        out = []
+        for t in self.timepoint_subset:
+            print(f'frame {t}/{len(self) - 1}', end='...', flush=True)
+            X, yolo_target = self.dataset.get_frametiles_stack(t)
+            grid = self._infer_grid(t, X)
+            dets, alive = post(grid, tile_yx)
+            out.append((np.asarray(dets['conf']), np.asarray(dets['x']),
+                        np.asarray(dets['y']), np.asarray(alive),
+                        np.asarray(yolo_target)))
+        return out
+
+    def _detect_fused(self, chunk_frames):
+        """Whole-movie fused path: chunks of frames, one jitted program."""
+        model, variables = self.model
+        ds = self.dataset
+        tile_yx = jnp.asarray(ds._tile_yx)
+        tc = ds.temporal_context
+        conf_thr = float(self.all_conf_thrs.min())
+
+        @partial(jax.jit, static_argnames=())
+        def chunk_step(tiles_chunk, centers_local):
+            # tiles_chunk: [Tc+2tc, K, ts, ts] (or [.., K, C_col, ts, ts])
+            def per_frame(t):
+                Xc = jax.lax.dynamic_slice_in_dim(tiles_chunk, t - tc,
+                                                  2 * tc + 1, axis=0)
+                if Xc.ndim == 5:       # motion modes: frame-major channels
+                    Xc = jnp.moveaxis(Xc, 1, 0)
+                    Xc = Xc.reshape(Xc.shape[0], -1, *Xc.shape[-2:])
+                    Xc = jnp.moveaxis(Xc, 1, -1)
+                else:
+                    Xc = jnp.moveaxis(Xc, 0, -1)
+                grid = detect_axons(model, variables, Xc)
+                dets = decode_tiled(grid, tile_yx, conf_thr, self.tilesize,
+                                    max_dets=MAX_DETS_PER_FRAME)
+                alive = distance_nms(dets['conf'], dets['x'], dets['y'],
+                                     dets['valid'], self.nms_min_dist)
+                return dets['conf'], dets['x'], dets['y'], alive
+
+            return jax.lax.map(per_frame, centers_local)
+
+        out = []
+        subset = self.timepoint_subset
+        for c0 in range(0, len(subset), chunk_frames):
+            chunk = subset[c0:c0 + chunk_frames]
+            t_all = [ds.timepoints_indices[t] for t in chunk]
+            lo, hi = min(t_all) - tc, max(t_all) + tc + 1
+            tiles_chunk = jnp.asarray(ds.X_tiled[lo:hi])
+            centers = jnp.asarray([t - lo for t in t_all], jnp.int32)
+            print(f'frames {chunk[0]}..{chunk[-1]}', end='...', flush=True)
+            conf, x, y, alive = jax.tree.map(
+                np.asarray, chunk_step(tiles_chunk, centers))
+            for i, t in enumerate(chunk):
+                yolo_target = ds.target_tiled[ds.timepoints_indices[t]]
+                out.append((conf[i], x[i], y[i], alive[i],
+                            np.asarray(yolo_target)))
+        return out
 
     def from_cache(self, which):
         return self._cache.load(which)

@@ -47,7 +47,9 @@ class TestAstar:
     def test_max_path_length_cap(self):
         wts = make_weights(20, 20)
         assert native.astar_path(wts, (0, 0), (19, 19), 10) is None
-        assert native.astar_path(wts, (0, 0), (19, 19), 38) is not None
+        # path has 38 steps = 39 nodes; cap is on node count
+        assert native.astar_path(wts, (0, 0), (19, 19), 38) is None
+        assert native.astar_path(wts, (0, 0), (19, 19), 39) is not None
 
     def test_pairwise_matches_single(self, rng):
         mask = np.ones((40, 60), bool)
