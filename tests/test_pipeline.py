@@ -176,3 +176,27 @@ class TestNoiseRobustness:
         long_tracks = (ax.IDed_dets_all.notna()
                        .T.groupby(level=0).all().sum() > len(ax) // 2).sum()
         assert long_tracks == 6
+
+
+class TestMCFParamSearch:
+    def test_mini_grid_search(self, dataset, params, tmp_path_factory):
+        """search_MCF_params over a tiny grid writes MCF_params_results.csv
+        with MOT metrics per combo (reference AxonDetections.py:845-922)."""
+        import os
+        import pandas as pd
+        from axtrack_tpu.data.synthetic import OracleDetector
+        from axtrack_tpu.detections import AxonDetections
+        d = tmp_path_factory.mktemp('mcfsearch')
+        oracle = OracleDetector(dataset, conf=0.95)
+        ax = AxonDetections(oracle, dataset, params, str(d))
+        ax.detect_dataset()
+        ax.assign_ids(astar_paths_cache='to')     # seed the 'from' cache
+        res = ax.search_MCF_params(
+            edge_cost_thr_values=[0.7], entry_exit_cost_values=[1, 2],
+            miss_rate_values=[0.6], vis_sim_weight_values=[0],
+            conf_capping_method_values=['scale_to_max'])
+        assert os.path.exists(os.path.join(str(d), 'MCF_params_results.csv'))
+        assert len(res) == 2
+        assert {'idf1', 'mota', 'edge_cost_thr'} <= set(res.columns)
+        # oracle detections -> near-perfect tracking for sane params
+        assert res['idf1'].max() > 0.95
