@@ -77,8 +77,10 @@ def optimize(parameters, train_data, test_data, state, save_results,
 
 def save_epoch_results(epoch_info, epoch, parameters, train_data, test_data,
                        state, MODELS_DIR, METRICS_DIR, RUN_DIR):
-    """(reference experiment.py:114-142)"""
+    """(reference experiment.py:114-142; metrics additionally exported as
+    CSV for tool-friendly observability)"""
     epoch_info.to_pickle(f'{METRICS_DIR}/E{epoch:0>4}.pkl')
+    epoch_info.to_csv(f'{METRICS_DIR}/E{epoch:0>4}.csv')
 
     if epoch == 0 and parameters['PLOT_PREPROC']:
         os.makedirs(f'{RUN_DIR}/preproc_data/', exist_ok=True)
