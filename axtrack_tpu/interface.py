@@ -23,7 +23,6 @@ import pandas as pd
 
 from .config import DEPLOYED_MODEL_DIR, DEFAULT_DEVICE, DEFAULT_NUM_WORKERS
 from .params import load_parameters, params2text
-from .models.yolo import build_model
 from .train import engine
 from .data.timelapse import Timelapse
 from .detections import AxonDetections

@@ -22,8 +22,6 @@ Shardings are expressed as NamedSharding annotations on the param/batch
 pytrees; collectives are inserted by XLA (scaling-book recipe: pick a mesh,
 annotate, let the compiler place psum/all-gather on ICI).
 """
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -10,8 +10,6 @@ the shared-weight broadcast).
 Movies must share a shape (pad/crop via data.prep.unify_timelapse); the
 segmentation mask and detector weights are replicated.
 """
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

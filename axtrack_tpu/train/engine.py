@@ -12,8 +12,6 @@ reference's per-epoch lambda e^(-sqrt(E)/LR_DECAYRATE)
 (core_functionality.py:83-87), injected via optax.inject_hyperparams.
 """
 import math
-from functools import partial
-
 import numpy as np
 import pandas as pd
 import jax
@@ -21,9 +19,8 @@ import jax.numpy as jnp
 import optax
 
 from ..data.timelapse import Timelapse
-from ..models.yolo import build_model, init_variables, initial_in_channels
+from ..models.yolo import build_model, init_variables
 from ..models.loss import yolo_loss
-from ..utils import new_key
 
 
 def setup_data(P, skip_test=False):

@@ -8,7 +8,6 @@ pandas) for parity with the evaluation tooling.
 import os
 import time
 
-import numpy as np
 import pandas as pd
 
 from .. import config
