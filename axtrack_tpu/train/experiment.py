@@ -91,6 +91,10 @@ def save_epoch_results(epoch_info, epoch, parameters, train_data, test_data,
         epoch_dir = f'{METRICS_DIR}/{epoch:0>4}_results/'
         os.makedirs(epoch_dir, exist_ok=True)
         from ..viz.video import draw_all
+        # no identities at this point — render confident detections unless
+        # the kwargs say otherwise
+        video_kwargs = dict(parameters['PERF_LOG_VIDEO_KWARGS'])
+        video_kwargs.setdefault('which_dets', 'confident')
         for data in (train_data, test_data):
             ax_dets = AxonDetections((state.model, state.variables), data,
                                      parameters, epoch_dir)
@@ -98,7 +102,7 @@ def save_epoch_results(epoch_info, epoch, parameters, train_data, test_data,
             try:
                 draw_all(ax_dets,
                          description=f'Notes: {parameters["NOTES"]}',
-                         **parameters['PERF_LOG_VIDEO_KWARGS'])
+                         **video_kwargs)
             except Exception as e:      # rendering must not kill training
                 print(f'(video render skipped: {e})')
 

@@ -11,28 +11,44 @@ from .rundirs import get_run_dir
 
 def create_all_epochs_info(metrics_dir):
     """Glue per-epoch pickles into loss_all_epochs / metrics_all_epochs
-    (reference utils.py:112-131)."""
+    (reference utils.py:112-131).
+
+    Per-epoch files have rows (epoch, split) and mixed columns: plain loss
+    names ('total_summed_loss', ...) plus threshold-sweep tuples
+    (('F1', 0.7), ...) present every 10th epoch. Output: epoch-indexed
+    frames — loss_all_epochs columns (loss_name, split) merged with the
+    best-F1-threshold metrics (the reference selects the threshold with
+    max mean test F1, utils.py:123-126); metrics_all_epochs columns
+    (metric, thr, split)."""
     info_files = sorted(glob.glob(metrics_dir + '/E*.pkl'))
     info_files = [f for f in info_files if not f.endswith('_metrics.pkl')]
-    frames = []
-    for E in info_files:
-        df = pd.read_pickle(E)
-        frames.append(df)
-    all_epochs_info = pd.concat(frames, axis=0)
+    rows = pd.concat([pd.read_pickle(E) for E in info_files], axis=0)
+    info = rows.unstack(level=1)          # index epoch, cols (col, split)
 
-    # split loss columns (first 10) from threshold-sweep metric columns
-    loss_cols = [c for c in all_epochs_info.columns
-                 if not isinstance(c, tuple) or not isinstance(
-                     c[0], tuple) and str(c[0]).startswith('total')]
-    metric_cols = [c for c in all_epochs_info.columns if c not in loss_cols]
+    metric_cols = [c for c in info.columns if isinstance(c[0], tuple)]
+    loss_cols = [c for c in info.columns if not isinstance(c[0], tuple)]
+    all_epochs_info = info[loss_cols].copy()
 
-    all_epochs_metrics = all_epochs_info[metric_cols] if metric_cols else \
-        pd.DataFrame(index=all_epochs_info.index)
+    if metric_cols:
+        metrics = info[metric_cols].copy()
+        # columns ((metric, thr), split) -> (metric, thr, split)
+        metrics.columns = pd.MultiIndex.from_tuples(
+            [(c[0][0], c[0][1], c[1]) for c in metrics.columns])
+        all_epochs_metrics = metrics
+        try:
+            f1_test = metrics.loc[:, ('F1', slice(None), 'test')]
+            best_thr = f1_test.mean(0).idxmax()[1]
+            best = metrics.loc[:, (slice(None), best_thr, slice(None))]
+            best.columns = [(m, s) for (m, _t, s) in best.columns]
+            best.columns = pd.MultiIndex.from_tuples(best.columns)
+            all_epochs_info = pd.concat([all_epochs_info, best], axis=1)
+        except (KeyError, ValueError):
+            pass
+    else:
+        all_epochs_metrics = pd.DataFrame(index=info.index)
 
-    fname = f'{metrics_dir}/loss_all_epochs.pkl'
-    all_epochs_info.to_pickle(fname)
-    fname = f'{metrics_dir}/metrics_all_epochs.pkl'
-    all_epochs_metrics.to_pickle(fname)
+    all_epochs_info.to_pickle(f'{metrics_dir}/loss_all_epochs.pkl')
+    all_epochs_metrics.to_pickle(f'{metrics_dir}/metrics_all_epochs.pkl')
     return all_epochs_info, all_epochs_metrics
 
 
