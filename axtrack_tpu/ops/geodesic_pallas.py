@@ -105,24 +105,38 @@ def _chamfer_kernel(src_ref, crop_ref, d_ref, *, window, max_sweeps):
             rows = rows[::-1]
         return jnp.concatenate(rows, axis=1), prev
 
-    def sweep(_s, carry):
+    # convergence early-exit: each sweep tracks whether any cell changed;
+    # typical channel masks converge in 2-3 sweeps, so max_sweeps is a
+    # safety cap, not the actual cost
+    def sweep_body(state):
+        it, _changed = state
+
         def blk_step(reverse):
-            def step(i, prev):
+            def step(i, carry):
+                prev, changed = carry
                 blk = n_blocks - 1 - i if reverse else i
                 base = pl.multiple_of(blk * RB, RB)
                 d_slab = d_ref[:, pl.ds(base, RB), :]
                 p_slab = crop_ref[:, pl.ds(base, RB), :]
                 new_slab, prev = relax_slab(d_slab, p_slab, prev, reverse)
+                changed = changed | jnp.any(new_slab < d_slab)
                 d_ref[:, pl.ds(base, RB), :] = new_slab
-                return prev
+                return prev, changed
             return step
 
         init = jnp.full((B, W), INF, jnp.float32)
-        jax.lax.fori_loop(0, n_blocks, blk_step(False), init)
-        jax.lax.fori_loop(0, n_blocks, blk_step(True), init)
-        return carry
+        _, changed = jax.lax.fori_loop(0, n_blocks, blk_step(False),
+                                       (init, jnp.bool_(False)))
+        _, changed = jax.lax.fori_loop(0, n_blocks, blk_step(True),
+                                       (init, changed))
+        return it + 1, changed
 
-    jax.lax.fori_loop(0, max_sweeps, sweep, jnp.int32(0))
+    def sweep_cond(state):
+        it, changed = state
+        return (it < max_sweeps) & changed
+
+    jax.lax.while_loop(sweep_cond, sweep_body,
+                       (jnp.int32(0), jnp.bool_(True)))
 
 
 @partial(jax.jit, static_argnames=('window', 'max_sweeps', 'interpret'))

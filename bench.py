@@ -69,7 +69,7 @@ def build_tpu_stages(frames, mask, P, model, variables, n_frames):
 
     window = 512     # covers the effective association radius at default
     #                  MCF_EDGE_COST_THR=0.7 (see detections module)
-    max_sweeps = 6
+    max_sweeps = 16   # safety cap; in-kernel convergence exit makes extra sweeps free
     pairs = [(s, gap) for s in range(n_frames - 1) for gap in (1, 2)
              if s + gap < n_frames]
 
@@ -190,15 +190,20 @@ def cpu_reference_pipeline(frames, mask, P, n_frames, dets_per_frame=40,
     from axtrack_tpu import native
 
     rng = np.random.default_rng(seed)
-    # --- preproc, numpy per-frame like the reference
-    t0 = time.perf_counter()
-    x = frames.copy()
-    x[:, ~mask] = 0
-    x = np.where(x < 55 / 2 ** 16, 0, x)
-    x = np.log2(1 + x)
-    stds = [x[t][x[t] != 0].std() for t in range(x.shape[0])]
-    x = x / np.mean(stds)
-    t_preproc = time.perf_counter() - t0
+    # --- preproc, numpy per-frame like the reference; min-of-3 single-pass
+    # measurements over 2 frames (min resists host-load contention), scaled
+    sub = frames[:2]
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x = sub.copy()
+        x[:, ~mask] = 0
+        x = np.where(x < 55 / 2 ** 16, 0, x)
+        x = np.log2(1 + x)
+        stds = [x[t][x[t] != 0].std() for t in range(x.shape[0])]
+        x = x / np.mean(stds)
+        best = min(best, time.perf_counter() - t0)
+    t_preproc = best / 2 * frames.shape[0]
 
     # --- A* per-pair distances (the reference's dominant CPU cost)
     dets = []
@@ -234,9 +239,11 @@ def cpu_cnn_time_per_frame(P, model_small_batch=4):
         X = jnp.zeros((model_small_batch, P['TILESIZE'], P['TILESIZE'], 5))
         fn = jax.jit(lambda X: detect_axons(model, variables, X))
         jax.block_until_ready(fn(X))            # compile
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(X))
-        dt = time.perf_counter() - t0
+        dt = np.inf
+        for _ in range(3):                      # min resists contention
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(X))
+            dt = min(dt, time.perf_counter() - t0)
     n_tiles_per_frame = 78
     return dt / model_small_batch * n_tiles_per_frame
 
