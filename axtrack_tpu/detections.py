@@ -437,7 +437,7 @@ class AxonDetections:
                 continue
             srcs = jnp.stack([jnp.asarray(dets[s]['y']),
                               jnp.asarray(dets[s]['x'])], -1)
-            dmaps, origins = G.batched_windows(padded, srcs, window, 16)
+            dmaps, origins = G.batched_windows(padded, srcs, window, 8)
             for gap in range(1, max_gap + 1):
                 t = s + gap
                 if t >= len(self):

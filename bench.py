@@ -69,7 +69,7 @@ def build_tpu_stages(frames, mask, P, model, variables, n_frames):
 
     window = 512     # covers the effective association radius at default
     #                  MCF_EDGE_COST_THR=0.7 (see detections module)
-    max_sweeps = 16   # safety cap; in-kernel convergence exit makes extra sweeps free
+    max_sweeps = 6    # enough for channel-geometry masks
     pairs = [(s, gap) for s in range(n_frames - 1) for gap in (1, 2)
              if s + gap < n_frames]
 
