@@ -22,10 +22,23 @@ import numpy as np
 
 
 def build_workload(T=8, H=2920, W=6364, dets_per_frame=40, seed=0):
+    """Synthetic full-size workload; cached on disk (generation of the
+    890MB movie takes minutes and is deterministic in the arguments)."""
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         '.jax_cache',
+                         f'workload_{T}_{H}_{W}_{dets_per_frame}_{seed}.npz')
+    if os.path.exists(cache):
+        z = np.load(cache)
+        return z['frames'], z['mask'], None
     from axtrack_tpu.data.synthetic import make_synthetic_timelapse
     frames, mask, labels = make_synthetic_timelapse(
         T=T + 4, H=H, W=W, n_axons=dets_per_frame, seed=seed,
         n_channels=max(4, dets_per_frame // 6), speed=(4, 14))
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    try:
+        np.savez(cache, frames=frames, mask=mask)
+    except OSError:
+        pass
     return frames, mask, labels
 
 
@@ -249,6 +262,7 @@ def cpu_cnn_time_per_frame(P, model_small_batch=4):
 
 
 def main():
+    log('bench starting (imports + jax init)...')
     import jax
     # persistent compilation cache: compiles through the TPU tunnel are
     # slow (~20-60s/program); cache them across bench runs
@@ -264,6 +278,7 @@ def main():
 
     n_frames = int(os.environ.get('BENCH_FRAMES', 8))
     P = get_default_parameters()
+    log(f'generating workload ({n_frames} frames)...')
     frames, mask, labels = build_workload(T=n_frames)
 
     import jax.numpy as jnp

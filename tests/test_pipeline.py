@@ -200,3 +200,50 @@ class TestMCFParamSearch:
         assert {'idf1', 'mota', 'edge_cost_thr'} <= set(res.columns)
         # oracle detections -> near-perfect tracking for sane params
         assert res['idf1'].max() > 0.95
+
+
+class TestAccessorPaths:
+    @pytest.fixture(scope='class')
+    def axdets(self, dataset, params, tmp_path_factory):
+        from axtrack_tpu.data.synthetic import OracleDetector
+        d = tmp_path_factory.mktemp('acc')
+        oracle = OracleDetector(dataset, conf=0.95)
+        ax = AxonDetections(oracle, dataset, params, str(d))
+        ax.detect_dataset()
+        return ax
+
+    def test_fp_fn_masks(self, axdets):
+        FP, FN = axdets.get_frame_dets('FP_FN', 0)
+        # oracle detections: no false positives/negatives at thr 0.7
+        assert len(FP) == 0 and len(FN) == 0
+
+    def test_unstitched_views(self, axdets, dataset):
+        tiles = axdets.get_frame_dets('all', 0, unstitched=True)
+        assert len(tiles) == dataset.X_tiled.shape[1]
+        # unstitched coords are tile-local
+        for sub in tiles:
+            if len(sub):
+                assert (sub['anchor_x'] < dataset.tilesize).all()
+                assert (sub['anchor_y'] < dataset.tilesize).all()
+        # stitching back distributes all detections
+        assert sum(len(s) for s in tiles) == 6
+
+    def test_frame_and_truedets_unstitched(self, axdets):
+        X, tiled_true = axdets.get_frame_and_truedets(0, unstitched=True)
+        assert X.ndim == 4
+        assert sum(len(s) for s in tiled_true) == 6
+
+    def test_detection_metrics_accessor(self, axdets):
+        prc, rcl, f1 = axdets.get_detection_metrics('all', 0)
+        assert (prc, rcl, f1) == (1.0, 1.0, 1.0)
+        allm = axdets.get_detection_metrics('all', 0,
+                                            return_all_conf_thrs=True)
+        assert allm.shape == (3, 13)
+
+    def test_reconstruction_stubs(self, axdets):
+        from axtrack_tpu.detections import (_reconstruct_axons,
+                                            get_axon_reconstructions)
+        with pytest.raises(NotImplementedError):
+            _reconstruct_axons(axdets)
+        with pytest.raises(NotImplementedError):
+            get_axon_reconstructions(axdets)
