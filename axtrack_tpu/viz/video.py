@@ -167,3 +167,21 @@ def _assemble_video(frame_files, video_fname, fps):
         imgs = [Image.open(fn).convert('P') for fn in frame_files]
         imgs[0].save(video_fname, save_all=True, append_images=imgs[1:],
                      duration=int(1000 / fps), loop=0)
+
+
+def to_drawable(im):
+    """Convert a [C, H, W] or [H, W, C] array (C <= 3) into a float RGB
+    image in [0, 1] for matplotlib (counterpart of reference
+    utils.py:392-411 ``torch_data2drawable``)."""
+    im = np.asarray(im, np.float32)
+    if im.ndim == 2:
+        im = im[None]
+    if im.shape[0] <= 3:
+        im = np.moveaxis(im, 0, 2)
+    height, width, cchannels = im.shape
+    empty = np.zeros((height, width), np.float32)
+    if cchannels == 2:
+        im = np.stack([empty, im[..., 0], im[..., 1]], axis=2)
+    elif cchannels == 1:
+        im = np.stack([im[..., 0], empty, empty], axis=-1)
+    return np.minimum(im, 1.0)

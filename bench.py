@@ -95,18 +95,31 @@ def build_tpu_stages(frames, mask, P, model, variables, n_frames):
         T_all = tiles.shape[0]
         return tiles.reshape(T_all, ny * nx, ts, ts)[:, flat_idx]
 
+    # CNN throughput: batching ~4 frames of tiles into one call is ~3.5x
+    # faster than per-frame calls (9 vs 32 ms/frame at 65 tiles — MXU
+    # utilization); chunk size bounds the 5x context-duplicated activations
+    DET_CHUNK = 4
+
     @jax.jit
     def stage_det(flat_tiles, tile_yx):
-        def per_frame(t):
-            Xc = jax.lax.dynamic_slice_in_dim(flat_tiles, t - 2, 5, axis=0)
-            Xc = jnp.moveaxis(Xc, 0, -1)
-            grid = detect_axons(model, variables, Xc)
-            dets = decode_tiled(grid, tile_yx, 0.55, ts, max_dets=MAXD)
-            alive = distance_nms(dets['conf'], dets['x'], dets['y'],
-                                 dets['valid'], P['NON_MAX_SUPRESSION_DIST'])
-            return dets['conf'], dets['x'], dets['y'], alive
-
-        return jax.lax.map(per_frame, jnp.asarray(centers))
+        K = flat_tiles.shape[1]
+        outs = []
+        for c0 in range(0, n_frames, DET_CHUNK):
+            chunk = centers[c0:c0 + DET_CHUNK]
+            Xs = [jnp.moveaxis(jax.lax.dynamic_slice_in_dim(
+                      flat_tiles, int(t) - 2, 5, axis=0), 0, -1)
+                  for t in chunk]                       # each [K, ts, ts, 5]
+            X = jnp.concatenate(Xs, axis=0)             # [len*K, ts, ts, 5]
+            grids = detect_axons(model, variables, X)
+            grids = grids.reshape(len(chunk), K, *grids.shape[1:])
+            for i in range(len(chunk)):
+                dets = decode_tiled(grids[i], tile_yx, 0.55, ts,
+                                    max_dets=MAXD)
+                alive = distance_nms(dets['conf'], dets['x'], dets['y'],
+                                     dets['valid'],
+                                     P['NON_MAX_SUPRESSION_DIST'])
+                outs.append((dets['conf'], dets['x'], dets['y'], alive))
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
 
     @jax.jit
     def stage_assoc(m, ys, xs, alive):
