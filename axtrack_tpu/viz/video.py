@@ -29,7 +29,7 @@ def _slice_or(sl, default):
 def draw_frame(img, dets, true_dets, axon_dets, t, ax, description='',
                dets_kwargs=None, scnd_dets_kwargs=None, draw_grid=True,
                draw_scalebar=False, draw_brightened_bg=False,
-               y_slice=None, x_slice=None, axon_subset=None):
+               y_slice=None, x_slice=None, axon_subset=None, trails=None):
     dets_kwargs = dets_kwargs or dict(config.PREDICTED_BOXES_KWARGS)
     scnd_dets_kwargs = scnd_dets_kwargs or dict(config.GROUNDTRUTH_BOXES_KWARGS)
     ds = axon_dets.dataset
@@ -61,6 +61,19 @@ def draw_frame(img, dets, true_dets, axon_dets, t, ax, description='',
             if is_pred:
                 ax.text(x - bs / 2, y - bs / 2 - 4, str(name).lstrip('Axon_'),
                         color=kw['edgecolor'], fontsize=5)
+
+    if trails:
+        # identity trails: each ID's tracked positions up to frame t (the
+        # reference instead drew A* path canvases for its unimplemented
+        # reconstruction feature, video_plotting.py:301-329)
+        for name, pts in trails.items():
+            if axon_subset is not None and name not in axon_subset:
+                continue
+            if len(pts) >= 2:
+                xs_ = [p[0] - x0 for p in pts]
+                ys_ = [p[1] - y0 for p in pts]
+                ax.plot(xs_, ys_, '-', color=_axon_color(name), lw=1.2,
+                        alpha=.8)
 
     if draw_grid:
         ts = ds.tilesize
@@ -101,9 +114,16 @@ def draw_all(axon_dets, which_dets='IDed', description='',
     os.makedirs(out_dir, exist_ok=True)
 
     frame_files = []
+    trail_hist = {}
     for t in range(t0, t1):
         img, true_dets = axon_dets.get_frame_and_truedets(t)
         dets = axon_dets.get_frame_dets(which_dets, t)
+        trails = None
+        if which_dets == 'IDed':
+            for name, row in dets.iterrows():
+                trail_hist.setdefault(name, []).append(
+                    (float(row['anchor_x']), float(row['anchor_y'])))
+            trails = trail_hist
         fig, ax = plt.subplots(figsize=(12, 6), dpi=dpi)
         draw_frame(img[0], dets,
                    true_dets if draw_true_dets and axon_dets.labelled
@@ -114,7 +134,7 @@ def draw_all(axon_dets, which_dets='IDed', description='',
                    draw_scalebar=draw_scalebar,
                    draw_brightened_bg=draw_brightened_bg,
                    y_slice=y_slice, x_slice=x_slice,
-                   axon_subset=axon_subset)
+                   axon_subset=axon_subset, trails=trails)
         fname = os.path.join(out_dir,
                              f'{axon_dets.name}_frame{t:0>3}.png')
         fig.savefig(fname, bbox_inches='tight')
