@@ -1,0 +1,203 @@
+"""On-device assignment: Jacobi auction LAP + online gap-aware tracker.
+
+The exact association path runs the global min-cost-flow on the host
+(native/mcf.cpp — replacing the reference's libmot/OR-Tools,
+AxonDetections.py:631-715). This module is the *scalable on-device
+alternative* from the build plan (SURVEY.md §7 step 6): a jitted Bertsekas
+auction solver for per-frame-pair assignment, with entry/exit options
+expressed as per-row "open a new track / end the track" columns, and an
+online tracker that chains assignments with <= max_num_misses gap lanes.
+
+The auction is epsilon-optimal: total cost is within n*eps of the LAP
+optimum (eps defaults keep it well below the cost quantization that
+matters for tracking decisions). All control flow is lax.while_loop —
+static shapes, no host sync inside the solve.
+"""
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import costs as C
+
+BIG = 1e9
+
+
+@partial(jax.jit, static_argnames=('n_iters', 'n_phases'))
+def auction_lap(cost, row_valid, col_valid, eps=1e-3, n_iters=4000,
+                n_phases=6):
+    """Epsilon-optimal min-cost assignment via Jacobi auction with
+    epsilon scaling (each phase reruns the auction at eps/4 starting from
+    the previous phase's prices — the standard fix for price-war
+    convergence, Bertsekas 1992).
+
+    Args:
+      cost: f32[N, M]; entries > BIG/2 are forbidden.
+      row_valid/col_valid: bool masks for padded rows/cols.
+      eps: final bidding increment (optimality gap <= N*eps).
+
+    Returns i32[N]: assigned column per row, -1 = unassigned. Invalid rows
+    stay -1; forbidden pairs are never assigned.
+    """
+    N, M = cost.shape
+    benefit = jnp.where(col_valid[None, :] & (cost < BIG / 2),
+                        -cost, -BIG)                     # maximize
+    finite = benefit > -BIG / 2
+    spread = (jnp.max(jnp.where(finite, benefit, -jnp.inf))
+              - jnp.min(jnp.where(finite, benefit, jnp.inf)))
+    spread = jnp.where(jnp.isfinite(spread), jnp.maximum(spread, eps), eps)
+    feasible_row = jnp.any(finite, axis=1)
+
+    def run_phase(prices, phase_eps):
+        assign0 = jnp.full(N, -1, jnp.int32)
+        owner0 = jnp.full(M, -1, jnp.int32)
+
+        def cond(state):
+            assign, owner, prices_, it = state
+            unassigned = (assign < 0) & row_valid
+            return jnp.any(unassigned) & (it < n_iters)
+
+        def body(state):
+            assign, owner, prices_, it = state
+            value = benefit - prices_[None, :]           # [N, M]
+            best_j = jnp.argmax(value, axis=1)
+            best_v = jnp.max(value, axis=1)
+            # second best for the bid increment
+            masked = value.at[jnp.arange(N), best_j].set(-jnp.inf)
+            second_v = jnp.max(masked, axis=1)
+            # bound the bid when the runner-up is a forbidden sentinel —
+            # otherwise prices blow up by ~BIG and later phases starve
+            floor = best_v - spread - phase_eps
+            second_v = jnp.where(second_v > -BIG / 2, second_v, floor)
+            bid = best_v - second_v + phase_eps
+
+            bidding = (assign < 0) & row_valid & feasible_row
+            # each column takes the highest bid among bidders targeting it
+            bid_for_col = jnp.where(
+                bidding[:, None] & (best_j[:, None]
+                                    == jnp.arange(M)[None, :]),
+                bid[:, None], -jnp.inf)                   # [N, M]
+            top_bid = jnp.max(bid_for_col, axis=0)
+            top_row = jnp.argmax(bid_for_col, axis=0).astype(jnp.int32)
+            won = jnp.isfinite(top_bid)
+
+            # previous owners of re-auctioned columns become unassigned
+            prev_owner = jnp.where(won & (owner >= 0), owner, N)
+            kicked = jnp.zeros(N, bool).at[prev_owner].set(True,
+                                                           mode='drop')
+            assign = jnp.where(kicked, -1, assign)
+
+            owner = jnp.where(won, top_row, owner)
+            prices_ = jnp.where(won, prices_ + top_bid, prices_)
+            # winning rows get their column; non-won columns must not
+            # scatter (argmax of an all -inf column returns 0 and would
+            # clobber row 0's assignment)
+            safe_row = jnp.where(won, top_row, N)
+            new_assign_col = jnp.full(N, -1, jnp.int32).at[safe_row].set(
+                jnp.arange(M, dtype=jnp.int32), mode='drop')
+            assign = jnp.where(new_assign_col >= 0, new_assign_col, assign)
+            return assign, owner, prices_, it + 1
+
+        assign, owner, prices, _ = jax.lax.while_loop(
+            cond, body, (assign0, owner0, prices, jnp.int32(0)))
+        return prices, assign
+
+    # epsilon schedule: spread/2, /4 each phase, floored at the target eps
+    phase_epss = jnp.maximum(
+        spread / 2 * (0.25 ** jnp.arange(n_phases, dtype=jnp.float32)), eps)
+    prices, assigns = jax.lax.scan(run_phase, jnp.zeros(M), phase_epss)
+    return assigns[-1]
+
+
+class OnlineTracker:
+    """Greedy online identity tracker on the device LAP.
+
+    Frame by frame: active tracks (incl. gap lanes up to
+    MCF_MAX_NUM_MISSES) compete for the new detections; the cost matrix is
+    the reference's transition model plus per-detection "new track"
+    columns priced at entry+exit+observation cost. Not globally optimal
+    like the MCF (a track can't be retroactively re-linked), but runs
+    entirely on device per frame and scales to high detection counts.
+    """
+
+    def __init__(self, params):
+        self.P = params
+        self.max_px = 500
+
+    def track(self, frame_dets, astar_dists):
+        """Same inputs/outputs as tracker.assign_identities (trajectories
+        as lists of (frame, det_idx))."""
+        P = self.P
+        max_gap = P['MCF_MAX_NUM_MISSES'] + 1
+        all_conf = np.concatenate([fd['conf'] for fd in frame_dets]) \
+            if frame_dets else np.zeros(0)
+        capped = C.cap_confidences(all_conf, P['MCF_CONF_CAPPING_METHOD'])
+        obs_all = C.observation_costs(capped, P['MCF_MAX_CONF_COST'])
+        offsets = np.concatenate(
+            [[0], np.cumsum([len(fd['conf']) for fd in frame_dets])])
+
+        trajectories = []
+        # active: list of (traj_idx, last_frame, last_det_idx)
+        active = []
+        for t in range(len(frame_dets)):
+            n_det = len(frame_dets[t]['conf'])
+            obs_t = obs_all[offsets[t]:offsets[t] + n_det]
+            new_cost = (P['MCF_ENTRY_EXIT_COST'] * 2 + obs_t)
+
+            # candidate tracks: last seen within max_gap
+            cands = [a for a in active if t - a[1] <= max_gap]
+            if n_det and cands:
+                rows = []
+                for (traj_i, lf, ld) in cands:
+                    gap = t - lf
+                    D = astar_dists.get((t, gap))
+                    if D is None or D.shape[1] != n_det:
+                        rows.append(np.full(n_det, BIG))
+                        continue
+                    tc = C.transition_costs(D[ld:ld + 1], P['MCF_MISS_RATE'],
+                                            gap, self.max_px)
+                    row = tc[0] + obs_t
+                    row = np.where(
+                        np.isfinite(row)
+                        & (tc[0] <= P['MCF_EDGE_COST_THR']), row, BIG)
+                    rows.append(row)
+                cost = np.stack(rows)                   # [n_tracks, n_det]
+                # competing with opening a new track: subtract that option
+                # by capping each column at its new-track cost
+                better_new = cost >= new_cost[None, :]
+                cost = np.where(better_new, BIG, cost)
+                Nr, Mc = cost.shape
+                pad_r = max(8 - Nr % 8, 0) if Nr % 8 else 0
+                pad_c = max(8 - Mc % 8, 0) if Mc % 8 else 0
+                cost_p = np.pad(cost, ((0, pad_r), (0, pad_c)),
+                                constant_values=BIG)
+                rv = np.zeros(Nr + pad_r, bool); rv[:Nr] = True
+                cv = np.zeros(Mc + pad_c, bool); cv[:Mc] = True
+                assign = np.asarray(auction_lap(
+                    jnp.asarray(cost_p, jnp.float32), jnp.asarray(rv),
+                    jnp.asarray(cv)))[:Nr]
+            else:
+                assign = np.full(len(cands), -1, int)
+
+            taken = set()
+            still_active = []
+            for k, (traj_i, lf, ld) in enumerate(cands):
+                j = int(assign[k]) if k < len(assign) else -1
+                if j >= 0 and j < n_det and j not in taken:
+                    trajectories[traj_i].append((t, j))
+                    still_active.append((traj_i, t, j))
+                    taken.add(j)
+                else:
+                    still_active.append((traj_i, lf, ld))
+            # keep non-candidate actives (too old) out; cands updated
+            active = still_active + [a for a in active if a not in cands]
+
+            # every unmatched detection opens a track (online variant:
+            # identities for all detections; downstream confidence
+            # filtering decides what is reported)
+            for j in range(n_det):
+                if j not in taken:
+                    trajectories.append([(t, j)])
+                    active.append((len(trajectories) - 1, t, j))
+        return trajectories

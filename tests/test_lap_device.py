@@ -1,0 +1,84 @@
+"""On-device auction LAP + online tracker tests."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from scipy.optimize import linear_sum_assignment
+
+from axtrack_tpu.track.lap_device import auction_lap, OnlineTracker, BIG
+
+
+def solve(cost, eps=1e-3):
+    N, M = cost.shape
+    rv = np.ones(N, bool)
+    cv = np.ones(M, bool)
+    return np.asarray(auction_lap(jnp.asarray(cost, jnp.float32),
+                                  jnp.asarray(rv), jnp.asarray(cv),
+                                  eps=eps))
+
+
+class TestAuction:
+    def test_matches_hungarian_optimum(self, rng):
+        for _ in range(5):
+            cost = rng.random((8, 8)).astype(np.float32)
+            a = solve(cost, eps=1e-4)
+            assert (a >= 0).all()
+            assert len(set(a.tolist())) == 8        # a permutation
+            ri, ci = linear_sum_assignment(cost)
+            opt = cost[ri, ci].sum()
+            got = cost[np.arange(8), a].sum()
+            assert got <= opt + 8 * 1e-4 + 1e-5
+
+    def test_rectangular_and_forbidden(self, rng):
+        cost = rng.random((4, 6)).astype(np.float32)
+        cost[0, :] = BIG                              # row 0 fully forbidden
+        a = solve(cost)
+        assert a[0] == -1
+        assigned = [x for x in a[1:] if x >= 0]
+        assert len(set(assigned)) == len(assigned)   # no double assignment
+
+    def test_padded_rows_stay_unassigned(self, rng):
+        cost = rng.random((6, 6)).astype(np.float32)
+        rv = np.array([True] * 3 + [False] * 3)
+        cv = np.ones(6, bool)
+        a = np.asarray(auction_lap(jnp.asarray(cost), jnp.asarray(rv),
+                                   jnp.asarray(cv)))
+        assert (a[3:] == -1).all()
+        assert (a[:3] >= 0).all()
+
+
+class TestOnlineTracker:
+    def _params(self):
+        return dict(MCF_EDGE_COST_THR=0.7, MCF_ENTRY_EXIT_COST=2,
+                    MCF_MISS_RATE=0.6, MCF_MAX_NUM_MISSES=1,
+                    MCF_MAX_CONF_COST=4.6,
+                    MCF_CONF_CAPPING_METHOD='scale_to_max')
+
+    def _frame(self, *pts):
+        pts = np.asarray(pts, float).reshape(-1, 2)
+        return {'conf': np.full(len(pts), 0.95, np.float32),
+                'x': pts[:, 0].astype(np.int32),
+                'y': pts[:, 1].astype(np.int32)}
+
+    def test_straight_tracks_match_mcf(self):
+        frames = [self._frame((10, 10), (10, 200)),
+                  self._frame((20, 10), (20, 200)),
+                  self._frame((30, 10), (30, 200))]
+        dists = {(1, 1): np.array([[12., 500.], [500., 12.]]),
+                 (2, 1): np.array([[12., 500.], [500., 12.]]),
+                 (2, 2): np.array([[22., 500.], [500., 22.]])}
+        trk = OnlineTracker(self._params())
+        trajs = trk.track(frames, dists)
+        long = [tr for tr in trajs if len(tr) == 3]
+        assert len(long) == 2
+        for tr in long:
+            assert [t for t, _ in tr] == [0, 1, 2]
+
+    def test_gap_bridged(self):
+        frames = [self._frame((10, 10)), self._frame(),
+                  self._frame((30, 10))]
+        dists = {(1, 1): np.zeros((1, 0), np.float32),
+                 (2, 1): np.zeros((0, 1), np.float32),
+                 (2, 2): np.array([[22.]])}
+        trk = OnlineTracker(self._params())
+        trajs = trk.track(frames, dists)
+        assert [tr for tr in trajs if [t for t, _ in tr] == [0, 2]]
