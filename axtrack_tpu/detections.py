@@ -396,12 +396,19 @@ class AxonDetections:
         return metric
 
     # -------------------------------------------------------- association
-    def assign_ids(self, astar_paths_cache=None, assigedIDs_cache=None):
-        """(reference AxonDetections.py:505-524)"""
+    def assign_ids(self, astar_paths_cache=None, assigedIDs_cache=None,
+                   method='mcf'):
+        """(reference AxonDetections.py:505-524)
+
+        method: 'mcf' (default) solves the exact global min-cost-flow on
+        the host (native SSP — the reference-parity path); 'online' uses
+        the on-device auction-LAP tracker (track/lap_device.py) — greedy
+        per frame, scales to high detection counts.
+        """
         self.astar_dists = self._compute_detections_astar_dists(
             cache=astar_paths_cache)
         self._IDed_detections = self._assign_IDs_to_detections(
-            cache=assigedIDs_cache)
+            cache=assigedIDs_cache, method=method)
         self.IDed_dets_all = self._agg_all_IDed_dets()
 
     def _frame_det_arrays(self):
@@ -474,13 +481,13 @@ class AxonDetections:
             self._cache.save('astar_dists', astar_dists)
         return astar_dists
 
-    def _assign_IDs_to_detections(self, cache=None):
+    def _assign_IDs_to_detections(self, cache=None, method='mcf'):
         """Identity association via the native MCF (reference
-        AxonDetections.py:631-715)."""
+        AxonDetections.py:631-715) or the on-device auction tracker."""
         if cache == 'from':
             return self._cache.load('_IDed_detections')
 
-        print('\nAssigning axon IDs using min cost flow...', end='')
+        print(f'\nAssigning axon IDs ({method})...', end='')
         dets = self._frame_det_arrays()
         vis_feats = None
         if self.MCF_vis_sim_weight:
@@ -495,8 +502,14 @@ class AxonDetections:
                                                self.axon_box_size)], -1)
                 vis_feats.append(TC.box_histogram_features(img, boxes))
 
-        result = tracker.assign_identities(
-            dets, self.astar_dists, self._mcf_params(), vis_feats)
+        if method == 'online':
+            from .track.lap_device import OnlineTracker
+            trajs = OnlineTracker(self._mcf_params()).track(
+                dets, self.astar_dists)
+            result = tracker.TrackGraphResult(trajs, None, None)
+        else:
+            result = tracker.assign_identities(
+                dets, self.astar_dists, self._mcf_params(), vis_feats)
         if result is None:
             print('Could not solve the graph for identity association; -> '
                   'no IDed detections. Try narrowing expected identities by '

@@ -247,3 +247,28 @@ class TestAccessorPaths:
             _reconstruct_axons(axdets)
         with pytest.raises(NotImplementedError):
             get_axon_reconstructions(axdets)
+
+
+class TestOnlineTrackerAgreement:
+    def test_online_matches_mcf_on_oracle(self, dataset, params,
+                                          tmp_path_factory):
+        """On clean oracle detections, the on-device online tracker and the
+        exact MCF produce the same long-track structure."""
+        from axtrack_tpu.data.synthetic import OracleDetector
+        d = tmp_path_factory.mktemp('online')
+        oracle = OracleDetector(dataset, conf=0.95)
+        ax = AxonDetections(oracle, dataset, params, str(d))
+        ax.detect_dataset()
+        ax.assign_ids(astar_paths_cache='to', method='mcf')
+        mcf_all = ax.IDed_dets_all.copy()
+        ax.assign_ids(astar_paths_cache='from', method='online')
+        onl_all = ax.IDed_dets_all
+        # both track all 6 axons through every frame
+        assert len(onl_all) == len(mcf_all) == 6
+        # positions per frame agree as sets (ID numbering may differ)
+        for t in range(len(ax)):
+            a = set(map(tuple, mcf_all[t].dropna()[
+                ['anchor_x', 'anchor_y']].values))
+            b = set(map(tuple, onl_all[t].dropna()[
+                ['anchor_x', 'anchor_y']].values))
+            assert a == b
