@@ -57,3 +57,18 @@ class TestMotionModes:
         X, _ = ds.get_frametiles_stack(0)
         grid = detect_axons(model, variables, X)
         assert grid.shape[1:] == (12, 12, 3)
+
+
+class TestMotionTraining:
+    def test_gather_batch_matches_getitem_motion(self, fixture):
+        """Batch gathering must preserve the frame-major channel layout
+        in motion modes (matches __getitem__)."""
+        from axtrack_tpu.train.engine import gather_batch
+        ds = make_ds(fixture, 'include')
+        ds.construct_tiles(force_no_transformation=True)
+        idx = np.array([0, len(ds) - 1])
+        X, tgt = gather_batch(ds, idx)
+        for k, i in enumerate(idx):
+            Xi, ti = ds[int(i)]
+            np.testing.assert_array_equal(X[k], Xi)
+            np.testing.assert_array_equal(tgt[k], ti)
