@@ -180,9 +180,16 @@ def visualize_inference(axon_dets, which_dets='IDed', description='',
              draw_brightened_bg=draw_brightened_bg)
 
 
-def deploy_run(exp_name, run, epoch, dest_dir=None):
+def deploy_run(exp_name, run, epoch, dest_dir=None, stnd_scaler=None):
     """Package a training run into a deployment bundle (new capability —
-    the reference's deployed_model/ bundle was assembled by hand)."""
+    the reference's deployed_model/ bundle was assembled by hand).
+
+    The standardization scaler is looked up in the run dir and the run's
+    CACHE dir (Timelapse writes it to CACHE, Timelapse.py:320-323
+    semantics); pass ``stnd_scaler`` explicitly when the run cached
+    nothing.
+    """
+    import pickle
     import shutil
     from .config import OUTPUT_DIR
     from .utils.rundirs import get_run_dir
@@ -198,8 +205,26 @@ def deploy_run(exp_name, run, epoch, dest_dir=None):
     if os.path.exists(dst_ckpt):
         shutil.rmtree(dst_ckpt)
     shutil.copytree(src_ckpt, dst_ckpt)
-    for extra in ('train_stnd_scaler.pkl',):
-        src = f'{run_dir}/{extra}'
-        if os.path.exists(src):
-            shutil.copy(src, f'{dest_dir}/{extra}')
+
+    scaler_dst = f'{dest_dir}/train_stnd_scaler.pkl'
+    if stnd_scaler is not None:
+        with open(scaler_dst, 'wb') as f:
+            pickle.dump(tuple(stnd_scaler), f)
+    else:
+        candidates = [f'{run_dir}/train_stnd_scaler.pkl']
+        if params.get('CACHE'):
+            candidates.append(f'{params["CACHE"]}/train_stnd_scaler.pkl')
+        for src in candidates:
+            if os.path.exists(src):
+                shutil.copy(src, scaler_dst)
+                break
+        else:
+            raise FileNotFoundError(
+                'train_stnd_scaler.pkl not found in the run or its CACHE '
+                'dir; pass stnd_scaler= (e.g. train_data.stnd_scaler) '
+                f'explicitly. Searched: {candidates}')
+    # preproc distribution reference for check_preproc, when available
+    for cand in (f'{run_dir}/preproc_data/train_preproc_data.csv',):
+        if os.path.exists(cand):
+            shutil.copy(cand, f'{dest_dir}/train_preproc_data.csv')
     return dest_dir
