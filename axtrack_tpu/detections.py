@@ -452,29 +452,53 @@ class AxonDetections:
         pad_h, pad_w = max(window - H, 0), max(window - W, 0)
         padded = jnp.pad(mask, ((0, pad_h), (0, pad_w)))
 
+        # every detection across the whole movie becomes a wavefront source
+        # in ONE batched launch; each lookback pair gathers from its source
+        # frame's slice of the maps (matches bench.py's assoc structure —
+        # launch overhead and recompiles don't scale with frame count)
+        counts = [len(d['conf']) for d in dets]
         astar_dists = {}
         max_gap = self.MCF_max_num_misses + 1
-        for s in range(len(self) - 1):
-            n_src = len(dets[s]['conf'])
-            if n_src == 0:
-                continue
-            srcs = jnp.stack([jnp.asarray(dets[s]['y']),
-                              jnp.asarray(dets[s]['x'])], -1)
+        # source frames are processed in groups of <= MAX_SRC sources per
+        # launch (distance maps are window^2 f32 each — 512 sources at
+        # window 512 is ~0.5GB HBM)
+        MAX_SRC = 512
+        group, group_n = [], 0
+        src_frames = [s for s in range(len(self) - 1) if counts[s] > 0]
+
+        def flush(group):
+            ys = np.concatenate([dets[s]['y'] for s in group])
+            xs = np.concatenate([dets[s]['x'] for s in group])
+            srcs = jnp.stack([jnp.asarray(ys), jnp.asarray(xs)], -1)
             dmaps, origins = G.batched_windows(padded, srcs, window, 8)
-            for gap in range(1, max_gap + 1):
-                t = s + gap
-                if t >= len(self):
-                    continue
-                if len(dets[t]['conf']) == 0:
-                    astar_dists[(t, gap)] = np.zeros((n_src, 0), np.float32)
-                    continue
-                tgts = jnp.stack([jnp.asarray(dets[t]['y']),
-                                  jnp.asarray(dets[t]['x'])], -1)
-                D = G.gather_targets(dmaps, origins, tgts,
-                                     jnp.float32(self.max_px_assoc_dist),
-                                     window)
-                astar_dists[(t, gap)] = np.asarray(D)
-            print(f'frame {s}...', end='', flush=True)
+            off = 0
+            for s in group:
+                sl = slice(off, off + counts[s])
+                off += counts[s]
+                for gap in range(1, max_gap + 1):
+                    t = s + gap
+                    if t >= len(self):
+                        continue
+                    if counts[t] == 0:
+                        astar_dists[(t, gap)] = np.zeros(
+                            (counts[s], 0), np.float32)
+                        continue
+                    tgts = jnp.stack(
+                        [jnp.asarray(dets[t]['y']),
+                         jnp.asarray(dets[t]['x'])], -1)
+                    D = G.gather_targets(
+                        dmaps[sl], origins[sl], tgts,
+                        jnp.float32(self.max_px_assoc_dist), window)
+                    astar_dists[(t, gap)] = np.asarray(D)
+
+        for s in src_frames:
+            if group and group_n + counts[s] > MAX_SRC:
+                flush(group)
+                group, group_n = [], 0
+            group.append(s)
+            group_n += counts[s]
+        if group:
+            flush(group)
         print('Done.')
 
         if cache == 'to':
