@@ -154,6 +154,80 @@ def gather_batch(dataset, indices):
     return X, target
 
 
+def run_epoch_device(state, steps_unused, dataset, which_dataset, P,
+                     batch_indices):
+    """Device-resident epoch: the epoch's tiles cross to the device once
+    and a jitted lax.scan runs every full batch (gather + forward +
+    backward + update) without host round-trips. The remainder batch (when
+    DROP_LAST=False) runs as one extra step at its own shape — semantics
+    identical to the streaming loop.
+
+    Returns the per-batch loss-component DataFrame like run_epoch.
+    """
+    tc = dataset.temporal_context
+    K = dataset.X_tiled.shape[1]
+    tiles = jnp.asarray(dataset.X_tiled)
+    targets = jnp.asarray(dataset.target_tiled)
+    tp_idx = jnp.asarray(np.asarray(dataset.timepoints_indices), jnp.int32)
+    train_step, eval_step = make_train_step(state.model, state.tx, state.P)
+
+    def gather(idx):
+        t_idx, tile_idx = jnp.divmod(idx, K)
+        t_all = tp_idx[t_idx]
+        ctx = t_all[:, None] + jnp.arange(-tc, tc + 1)[None, :]
+        X = tiles[ctx, tile_idx[:, None]]
+        if X.ndim == 5:       # motion modes: frame-major channels
+            X = X.reshape(X.shape[0], -1, *X.shape[-2:])
+        X = jnp.moveaxis(X, 1, -1)
+        return X, targets[t_all, tile_idx]
+
+    @jax.jit
+    def scan_epoch(params, batch_stats, opt_state, idx_batches):
+        def step(carry, idx):
+            params, bs, opt = carry
+            X, tgt = gather(idx)
+            if which_dataset == 'train':
+                params, bs, opt, loss, comps = train_step(params, bs, opt,
+                                                          X, tgt)
+            else:
+                loss, comps = eval_step(params, bs, X, tgt)
+            return (params, bs, opt), comps
+
+        (params, bs, opt), comps = jax.lax.scan(
+            step, (params, batch_stats, opt_state), idx_batches)
+        return params, bs, opt, comps
+
+    bs_size = P['BATCH_SIZE']
+    n_full = len(batch_indices) // bs_size
+    full = jnp.asarray(
+        np.asarray(batch_indices[:n_full * bs_size]).reshape(n_full,
+                                                             bs_size))
+    rest = np.asarray(batch_indices[n_full * bs_size:])
+
+    all_comps = []
+    if n_full:
+        (state.params, state.batch_stats, state.opt_state,
+         comps) = scan_epoch(state.params, state.batch_stats,
+                             state.opt_state, full)
+        comps = jax.tree.map(np.asarray, comps)
+        for b in range(n_full):
+            all_comps.append(pd.Series(
+                {k: float(v[b]) for k, v in comps.items()}))
+    if len(rest) and not P['DROP_LAST']:
+        X, tgt = gather_batch(dataset, rest)
+        X, tgt = jnp.asarray(X), jnp.asarray(tgt)
+        if which_dataset == 'train':
+            (state.params, state.batch_stats, state.opt_state, loss,
+             comps) = train_step(state.params, state.batch_stats,
+                                 state.opt_state, X, tgt)
+        else:
+            loss, comps = eval_step(state.params, state.batch_stats, X, tgt)
+        all_comps.append(pd.Series({k: float(v) for k, v in comps.items()}))
+    print(f'LOSS: {all_comps[-1]["total_summed_loss"]:.3f} '
+          f'({len(all_comps)} device-resident batches) Done.')
+    return pd.concat(all_comps, axis=1)
+
+
 def run_epoch(data_loader, state, steps, dataset, which_dataset):
     """Batched forward/backward over the epoch
     (reference core_functionality.py:109-127)."""
@@ -189,7 +263,7 @@ def prepare_data(dataset, max_redraws=20):
 
 
 def one_epoch(dataset, state, params, epoch, train=True, min_pos_rate=.65,
-              max_redraws=20):
+              max_redraws=20, device_resident=True):
     """One full pass over the dataset (reference
     core_functionality.py:139-166). ``min_pos_rate`` redraw guard is capped
     at max_redraws (the reference loops forever on sparse data)."""
@@ -203,9 +277,18 @@ def one_epoch(dataset, state, params, epoch, train=True, min_pos_rate=.65,
 
     if not hasattr(state, '_steps'):
         state._steps = make_train_step(state.model, state.tx, params)
-    loader = setup_data_loaders(params, dataset)
-    epoch_loss = run_epoch(loader, state, state._steps, dataset,
-                           which_dataset)
+    # device-resident fast path: ship the epoch's tiles once and scan the
+    # batches on-device when they fit comfortably in HBM
+    if (device_resident and dataset.X_tiled.nbytes < 2 * 1024 ** 3):
+        indices = np.arange(len(dataset))
+        if params['SHUFFLE']:
+            np.random.shuffle(indices)
+        epoch_loss = run_epoch_device(state, state._steps, dataset,
+                                      which_dataset, params, indices)
+    else:
+        loader = setup_data_loaders(params, dataset)
+        epoch_loss = run_epoch(loader, state, state._steps, dataset,
+                               which_dataset)
     epoch_loss = epoch_loss.mean(axis=1).rename((epoch, which_dataset))
 
     # every 10th epoch: precision/recall/F1 over the dataset
