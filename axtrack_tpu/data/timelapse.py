@@ -42,7 +42,13 @@ class Timelapse:
         self.name = name
         print(f'Data: {name}')
         self.transform_configs = dict.fromkeys(use_transforms or (), 0)
-        self._rng = np.random.default_rng()
+        # augmentation RNG derived from the global seed (reference seeds
+        # torch+numpy globally, utils.py:73-76; SEED is part of the 54-key
+        # contract) — unseeded draws made identical runs diverge at epoch 1
+        from ..utils import global_seed
+        import zlib
+        self._rng = np.random.default_rng(
+            [global_seed(), zlib.crc32((name or '').encode())])
 
         if from_cache:
             self._load_cache(from_cache)
@@ -274,10 +280,12 @@ class Timelapse:
         (reference Timelapse.py:492-566). Augmentation redraws each call."""
         X = jnp.asarray(self.X)
         target = self.target
+        self.last_transform_configs = None
         if self.transform_configs and not force_no_transformation:
             X, target, cfg = apply_transformations(
                 self.transform_configs, X, target, self.sizey, self.sizex,
                 self._rng)
+            self.last_transform_configs = cfg
             print(f'New transform config set: {cfg}')
         print(f'Tiling {self.name} data...', end='', flush=True)
 
@@ -405,11 +413,32 @@ class Timelapse:
             pd_det.index = [f'Axon_{i:0>3}' for i in range(len(pd_det))]
         return pd_det, img
 
-    def tiled_target2yolo_format(self, target_tiled=None):
-        """Kept for API parity: the YOLO grid construction now lives in
-        ops/targets.labels_to_yolo_grid (reference Timelapse.py:451-490)."""
-        raise NotImplementedError(
-            'use ops.targets.labels_to_yolo_grid (called by construct_tiles)')
+    def tiled_target2yolo_format(self, target_tiled):
+        """Tile-local anchor coords -> YOLO grid (reference
+        Timelapse.py:451-490; the training path instead uses the fused
+        device scatter ops/targets.labels_to_yolo_grid inside
+        construct_tiles — this is the public per-tile utility).
+
+        Args:
+          target_tiled: f[ytile, xtile, T, A, 2] tile-local (y, x) anchor
+            px coords; negative marks absent axons.
+        Returns f32[ytile, xtile, T, Sx, Sy, 4] with
+        (conf=1, x_within_cell, y_within_cell, axon_id) at occupied cells
+        — note the y-x -> x-y dim order switch of the YOLO grid.
+        """
+        tt = np.asarray(target_tiled, np.float64) / self.tilesize
+        yolo = np.zeros((*tt.shape[:-2], self.Sx, self.Sy, 4), np.float32)
+        present = (tt[..., 0] >= 0) & (tt[..., 1] >= 0)
+        yt, xt, t_idx, ax_idx = np.nonzero(present)
+        yolo_y = tt[yt, xt, t_idx, ax_idx, 0] * self.Sy
+        yolo_x = tt[yt, xt, t_idx, ax_idx, 1] * self.Sx
+        yb = yolo_y.astype(int)
+        xb = yolo_x.astype(int)
+        yolo[yt, xt, t_idx, xb, yb, 0] = 1.0
+        yolo[yt, xt, t_idx, xb, yb, 1] = yolo_x - xb
+        yolo[yt, xt, t_idx, xb, yb, 2] = yolo_y - yb
+        yolo[yt, xt, t_idx, xb, yb, 3] = ax_idx.astype(np.float32)
+        return yolo
 
     def get_tcenter_idx(self):
         return list(range(self.temporal_context * self.size_colchnls,

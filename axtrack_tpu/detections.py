@@ -35,6 +35,85 @@ from .utils.caching import StageCache
 
 MAX_DETS_PER_FRAME = 1024
 
+# Jitted detection programs live at module scope, keyed on the static
+# config — variables/weights are ARGUMENTS. A per-call or per-instance
+# jax.jit would be a fresh function object each time, i.e. a jit-cache
+# miss and a 20-60s retrace+recompile per detect_dataset call (the
+# every-10th-epoch F1 sweep alone calls it ~150x at reference scale).
+_PROGRAMS = {}
+
+
+def _model_key(model):
+    return (id(model), str(getattr(model, 'architecture', None)),
+            getattr(model, 'tilesize', None), getattr(model, 'Sy', None),
+            getattr(model, 'Sx', None), str(getattr(model, 'dtype', None)))
+
+
+def _cnn_program(model):
+    """jit of (variables, X) -> grid for one model architecture."""
+    key = ('cnn',) + _model_key(model)
+    if key not in _PROGRAMS:
+        _PROGRAMS[key] = jax.jit(
+            lambda variables, X: detect_axons(model, variables, X))
+    return _PROGRAMS[key]
+
+
+def _post_program(tilesize, max_dets):
+    """jit of decode(+stitch) -> NMS for one (tilesize, max_dets)."""
+    key = ('post', tilesize, max_dets)
+    if key not in _PROGRAMS:
+        @jax.jit
+        def post(grid, tile_yx, conf_thr, nms_dist):
+            dets = decode_tiled(grid, tile_yx, conf_thr, tilesize,
+                                max_dets=max_dets)
+            alive = distance_nms(dets['conf'], dets['x'], dets['y'],
+                                 dets['valid'], nms_dist)
+            return dets, alive
+        _PROGRAMS[key] = post
+    return _PROGRAMS[key]
+
+
+def _chunk_program(model, tilesize, tc, batch_frames, max_dets):
+    """Fused whole-chunk program: CNN batches + decode + NMS per frame."""
+    key = (('chunk', tilesize, tc, batch_frames, max_dets)
+           + _model_key(model))
+    if key in _PROGRAMS:
+        return _PROGRAMS[key]
+
+    def frame_stack(tiles_chunk, t):
+        Xc = jax.lax.dynamic_slice_in_dim(tiles_chunk, t - tc,
+                                          2 * tc + 1, axis=0)
+        if Xc.ndim == 5:       # motion modes: frame-major channels
+            Xc = jnp.moveaxis(Xc, 1, 0)
+            Xc = Xc.reshape(Xc.shape[0], -1, *Xc.shape[-2:])
+            Xc = jnp.moveaxis(Xc, 1, -1)
+        else:
+            Xc = jnp.moveaxis(Xc, 0, -1)
+        return Xc                                  # [K, ts, ts, C]
+
+    @partial(jax.jit, static_argnames=('n_centers',))
+    def chunk_step(variables, tiles_chunk, centers_local, tile_yx,
+                   conf_thr, nms_dist, n_centers):
+        K = tiles_chunk.shape[1]
+        outs = []
+        for c0 in range(0, n_centers, batch_frames):
+            sub = list(range(c0, min(c0 + batch_frames, n_centers)))
+            X = jnp.concatenate(
+                [frame_stack(tiles_chunk, centers_local[i])
+                 for i in sub], axis=0)
+            grids = detect_axons(model, variables, X)
+            grids = grids.reshape(len(sub), K, *grids.shape[1:])
+            for i in range(len(sub)):
+                dets = decode_tiled(grids[i], tile_yx, conf_thr,
+                                    tilesize, max_dets=max_dets)
+                alive = distance_nms(dets['conf'], dets['x'],
+                                     dets['y'], dets['valid'], nms_dist)
+                outs.append((dets['conf'], dets['x'], dets['y'], alive))
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+
+    _PROGRAMS[key] = chunk_step
+    return chunk_step
+
 
 class AxonDetections:
     """Bundles model inference output to data input (reference
@@ -96,22 +175,13 @@ class AxonDetections:
     def _infer_grid(self, t, X):
         """Produce the YOLO grid for one frame's tile stack. ``self.model``
         is either (flax module, variables) — the jitted CNN path — or any
-        callable ``f(t, X) -> grid`` (e.g. an oracle detector in tests)."""
+        callable ``f(t, X) -> grid`` (e.g. an oracle detector in tests).
+        The jitted program is module-cached; weights are arguments, so
+        fresh variables (each training epoch) reuse the compilation."""
         if isinstance(self.model, tuple):
-            if not hasattr(self, '_jit_cnn'):
-                model, variables = self.model
-                self._jit_cnn = jax.jit(
-                    lambda X: detect_axons(model, variables, X))
-            return self._jit_cnn(X)
+            model, variables = self.model
+            return _cnn_program(model)(variables, X)
         return self.model(t, X)
-
-    def _postprocess(self, grid, tile_yx, conf_thr):
-        """Jitted decode(+stitch) -> NMS, compiled once for all frames."""
-        dets = decode_tiled(grid, tile_yx, conf_thr, self.tilesize,
-                            max_dets=MAX_DETS_PER_FRAME)
-        alive = distance_nms(dets['conf'], dets['x'], dets['y'],
-                             dets['valid'], self.nms_min_dist)
-        return dets, alive
 
     def detect_dataset(self, cache=None, chunk_frames=16):
         """Run the detector over all frames (reference
@@ -163,14 +233,14 @@ class AxonDetections:
     def _detect_per_frame(self):
         """Per-frame loop (oracle/test models)."""
         tile_yx = jnp.asarray(self.dataset._tile_yx)
-        post = jax.jit(partial(self._postprocess,
-                               conf_thr=float(self.all_conf_thrs.min())))
+        post = _post_program(self.tilesize, MAX_DETS_PER_FRAME)
+        conf_thr = float(self.all_conf_thrs.min())
         out = []
         for t in self.timepoint_subset:
             print(f'frame {t}/{len(self) - 1}', end='...', flush=True)
             X, yolo_target = self.dataset.get_frametiles_stack(t)
             grid = self._infer_grid(t, X)
-            dets, alive = post(grid, tile_yx)
+            dets, alive = post(grid, tile_yx, conf_thr, self.nms_min_dist)
             out.append((np.asarray(dets['conf']), np.asarray(dets['x']),
                         np.asarray(dets['y']), np.asarray(alive),
                         np.asarray(yolo_target)))
@@ -186,39 +256,9 @@ class AxonDetections:
         tile_yx = jnp.asarray(ds._tile_yx)
         tc = ds.temporal_context
         conf_thr = float(self.all_conf_thrs.min())
-        CNN_BATCH_FRAMES = 4
-
-        def frame_stack(tiles_chunk, t):
-            Xc = jax.lax.dynamic_slice_in_dim(tiles_chunk, t - tc,
-                                              2 * tc + 1, axis=0)
-            if Xc.ndim == 5:       # motion modes: frame-major channels
-                Xc = jnp.moveaxis(Xc, 1, 0)
-                Xc = Xc.reshape(Xc.shape[0], -1, *Xc.shape[-2:])
-                Xc = jnp.moveaxis(Xc, 1, -1)
-            else:
-                Xc = jnp.moveaxis(Xc, 0, -1)
-            return Xc                                  # [K, ts, ts, C]
-
-        @partial(jax.jit, static_argnames=('n_centers',))
-        def chunk_step(tiles_chunk, centers_local, n_centers):
-            K = tiles_chunk.shape[1]
-            outs = []
-            for c0 in range(0, n_centers, CNN_BATCH_FRAMES):
-                sub = list(range(c0, min(c0 + CNN_BATCH_FRAMES, n_centers)))
-                X = jnp.concatenate(
-                    [frame_stack(tiles_chunk, centers_local[i])
-                     for i in sub], axis=0)
-                grids = detect_axons(model, variables, X)
-                grids = grids.reshape(len(sub), K, *grids.shape[1:])
-                for i in range(len(sub)):
-                    dets = decode_tiled(grids[i], tile_yx, conf_thr,
-                                        self.tilesize,
-                                        max_dets=MAX_DETS_PER_FRAME)
-                    alive = distance_nms(dets['conf'], dets['x'],
-                                         dets['y'], dets['valid'],
-                                         self.nms_min_dist)
-                    outs.append((dets['conf'], dets['x'], dets['y'], alive))
-            return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+        chunk_step = _chunk_program(model, self.tilesize, tc,
+                                    batch_frames=4,
+                                    max_dets=MAX_DETS_PER_FRAME)
 
         out = []
         subset = self.timepoint_subset
@@ -230,7 +270,8 @@ class AxonDetections:
             centers = jnp.asarray([t - lo for t in t_all], jnp.int32)
             print(f'frames {chunk[0]}..{chunk[-1]}', end='...', flush=True)
             conf, x, y, alive = jax.tree.map(
-                np.asarray, chunk_step(tiles_chunk, centers,
+                np.asarray, chunk_step(variables, tiles_chunk, centers,
+                                       tile_yx, conf_thr, self.nms_min_dist,
                                        n_centers=len(t_all)))
             for i, t in enumerate(chunk):
                 yolo_target = ds.target_tiled[ds.timepoints_indices[t]]
@@ -470,7 +511,10 @@ class AxonDetections:
             ys = np.concatenate([dets[s]['y'] for s in group])
             xs = np.concatenate([dets[s]['x'] for s in group])
             srcs = jnp.stack([jnp.asarray(ys), jnp.asarray(xs)], -1)
-            dmaps, origins = G.batched_windows(padded, srcs, window, 8)
+            # converge=True: exact distances on ANY mask geometry (probes
+            # + doubles sweeps until fixpoint; see geodesic_pallas)
+            dmaps, origins = G.batched_windows(padded, srcs, window, 8,
+                                               converge=True)
             off = 0
             for s in group:
                 sl = slice(off, off + counts[s])
@@ -505,6 +549,21 @@ class AxonDetections:
             self._cache.save('astar_dists', astar_dists)
         return astar_dists
 
+    def _vis_features(self, dets):
+        """Per-frame appearance features (box intensity histograms) for the
+        visual-similarity transition term (reference uses cv2 hists on the
+        axon boxes; track/costs.py)."""
+        vis_feats = []
+        half = self.axon_box_size // 2
+        for t in range(len(self)):
+            img = self.get_frame_and_truedets(t)[0][0]
+            boxes = np.stack([dets[t]['x'] - half, dets[t]['y'] - half,
+                              np.full_like(dets[t]['x'], self.axon_box_size),
+                              np.full_like(dets[t]['x'], self.axon_box_size)],
+                             -1)
+            vis_feats.append(TC.box_histogram_features(img, boxes))
+        return vis_feats
+
     def _assign_IDs_to_detections(self, cache=None, method='mcf'):
         """Identity association via the native MCF (reference
         AxonDetections.py:631-715) or the on-device auction tracker."""
@@ -513,18 +572,8 @@ class AxonDetections:
 
         print(f'\nAssigning axon IDs ({method})...', end='')
         dets = self._frame_det_arrays()
-        vis_feats = None
-        if self.MCF_vis_sim_weight:
-            vis_feats = []
-            for t in range(len(self)):
-                img = self.get_frame_and_truedets(t)[0][0]
-                half = self.axon_box_size // 2
-                boxes = np.stack([dets[t]['x'] - half, dets[t]['y'] - half,
-                                  np.full_like(dets[t]['x'],
-                                               self.axon_box_size),
-                                  np.full_like(dets[t]['x'],
-                                               self.axon_box_size)], -1)
-                vis_feats.append(TC.box_histogram_features(img, boxes))
+        vis_feats = (self._vis_features(dets) if self.MCF_vis_sim_weight
+                     else None)
 
         if method == 'online':
             from .track.lap_device import OnlineTracker
@@ -623,44 +672,42 @@ class AxonDetections:
             .4, .6, .7, .8, .9, 1, 1.2, 3),
             entry_exit_cost_values=(.2, .8, .9, 1, 1.1, 2),
             miss_rate_values=(0.9, 0.6), vis_sim_weight_values=(0, 0.1),
-            conf_capping_method_values=('ceil', 'scale_to_max')):
+            conf_capping_method_values=('ceil', 'scale_to_max'),
+            n_jobs=None):
         """Grid-search MCF hyperparameters against ground truth with the
-        MOT-challenge metric suite (reference AxonDetections.py:845-922)."""
-        from .track.motmetrics_lite import mot_metrics
+        MOT-challenge metric suite (reference AxonDetections.py:845-922).
+
+        The grid fans out over a process pool (track/param_search.py): the
+        expensive inputs (detections, geodesic distances, appearance
+        features) are fixed across all ~960 combos, so only the cheap
+        solve+score runs per combo — in parallel. Results are identical
+        to the sequential reference loop. n_jobs=1 forces sequential.
+        """
+        from .track import param_search
 
         target = self.get_frame_dets('groundtruth', None, libmot=True)
-        results, i = [], 0
-        total = (len(edge_cost_thr_values) * len(entry_exit_cost_values)
-                 * len(miss_rate_values) * len(vis_sim_weight_values)
-                 * len(conf_capping_method_values))
-        for ec in edge_cost_thr_values:
-            self.MCF_edge_cost_thr = ec
-            for eec in entry_exit_cost_values:
-                self.MCF_entry_exit_cost = eec
-                for mr in miss_rate_values:
-                    self.MCF_miss_rate = mr
-                    for vsw in vis_sim_weight_values:
-                        self.MCF_vis_sim_weight = vsw
-                        for ccm in conf_capping_method_values:
-                            self.MCF_conf_capping_method = ccm
-                            print(f'{i}/{total}', flush=True)
-                            self.assign_ids(astar_paths_cache='from')
-                            if self._IDed_detections is None:
-                                i += 1
-                                continue
-                            pred = self.get_frame_dets('IDed', None,
-                                                       libmot=True)
-                            res = mot_metrics(target, pred,
-                                              distth=self.nms_min_dist ** 2)
-                            row = pd.Series(
-                                (ec, eec, mr, vsw, ccm),
-                                ('edge_cost_thr', 'entry_exit_cost',
-                                 'miss_rate', 'vis_sim_weight',
-                                 'conf_capping_method'))
-                            results.append(pd.concat([row, res]))
-                            i += 1
-        results = pd.concat(results, axis=1).T
-        results.to_csv(f'{self.dir}/MCF_params_results.csv')
+        if not hasattr(self, 'astar_dists'):
+            self.astar_dists = self._cache.load('astar_dists')
+        dets = self._frame_det_arrays()
+        vis_feats = None
+        if any(vis_sim_weight_values):
+            vis_feats = self._vis_features(dets)
+
+        combos = [(ec, eec, mr, vsw, ccm)
+                  for ec in edge_cost_thr_values
+                  for eec in entry_exit_cost_values
+                  for mr in miss_rate_values
+                  for vsw in vis_sim_weight_values
+                  for ccm in conf_capping_method_values]
+        print(f'MCF param search: {len(combos)} combos '
+              f'({"sequential" if n_jobs == 1 else "parallel"})', flush=True)
+        results = param_search.search_grid(
+            dets, self.astar_dists, self._mcf_params(), target,
+            distth=self.nms_min_dist ** 2,
+            axon_box_size=self.axon_box_size, combos=combos,
+            vis_feats=vis_feats, n_jobs=n_jobs)
+        if self.dir:
+            results.to_csv(f'{self.dir}/MCF_params_results.csv')
         return results
 
 

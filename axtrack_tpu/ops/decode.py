@@ -74,16 +74,34 @@ def distance_nms(conf, x, y, valid, radius):
 
     Inputs must already be sorted by descending conf (decode_tiled output).
     Returns the updated validity mask.
+
+    Implementation: parallel Jacobi fixpoint instead of an n-step
+    sequential loop. The greedy result is the unique fixpoint of
+      alive[i] = valid[i] & ~any(j < i, alive[j], d2[j,i] < r2),
+    and iterating that update stabilizes prefix 0..k after k rounds, so
+    the while_loop is exact and terminates in <= n rounds — in practice
+    suppression-chain depth (a handful). Each round is one [n, n]
+    masked-any, which vectorizes on the VPU; at n=1024 the old fori_loop
+    ran 1024 dependent scalar-indexed steps inside the fused program.
     """
     n = conf.shape[0]
     r2 = jnp.round(jnp.asarray(radius, jnp.float32) ** 2).astype(jnp.int32)
     xi = x.astype(jnp.int32)
     yi = y.astype(jnp.int32)
     pos = jnp.arange(n)
+    # may_kill[j, i]: a surviving j would suppress i (strictly lower rank)
+    d2 = (xi[:, None] - xi[None, :]) ** 2 + (yi[:, None] - yi[None, :]) ** 2
+    may_kill = (d2 < r2) & (pos[:, None] < pos[None, :])
 
-    def body(i, alive):
-        d2 = (xi - xi[i]) ** 2 + (yi - yi[i]) ** 2
-        kill = alive[i] & alive & (d2 < r2) & (pos > i)
-        return alive & ~kill
+    def cond(state):
+        alive, prev, it = state
+        return (it < n) & jnp.any(alive != prev)
 
-    return jax.lax.fori_loop(0, n, body, valid)
+    def body(state):
+        alive, _, it = state
+        killed = jnp.any(may_kill & alive[:, None], axis=0)
+        return valid & ~killed, alive, it + 1
+
+    alive, _, _ = jax.lax.while_loop(
+        cond, body, (valid, jnp.zeros_like(valid), jnp.int32(0)))
+    return alive

@@ -91,18 +91,31 @@ def _distance_map_from(passable, src_yx, max_sweeps=8):
     return d
 
 
-def batched_windows(passable_padded, srcs_yx, window, max_sweeps=8):
+def batched_windows(passable_padded, srcs_yx, window, max_sweeps=8,
+                    converge=False):
     """Distance maps for N sources — dispatches to the Pallas kernel on TPU
     (geodesic_pallas.py) and the pure-lax implementation elsewhere. Both are
     parity-tested against the C++ oracle. Override with
-    AXTRACK_GEODESIC_BACKEND={pallas,lax}."""
+    AXTRACK_GEODESIC_BACKEND={pallas,lax}.
+
+    converge=True guarantees exactness regardless of mask geometry:
+    the Pallas path probes between launches and doubles the sweep budget
+    until fixpoint (geodesic_pallas.batched_windows_converged); the lax
+    path raises the while_loop bound (it already early-exits at fixpoint,
+    so extra headroom costs nothing when converged)."""
     backend = os.environ.get('AXTRACK_GEODESIC_BACKEND')
     use_pallas = (backend == 'pallas'
                   or (backend is None and jax.default_backend() == 'tpu'))
     if use_pallas:
-        from .geodesic_pallas import batched_windows_pallas
+        from .geodesic_pallas import (batched_windows_pallas,
+                                      batched_windows_converged)
+        if converge:
+            return batched_windows_converged(passable_padded, srcs_yx,
+                                             window, max_sweeps=max_sweeps)
         return batched_windows_pallas(passable_padded, srcs_yx, window,
                                       max_sweeps=max_sweeps)
+    if converge:
+        max_sweeps = max(max_sweeps, 2 * window)
     return _batched_windows(passable_padded, srcs_yx, window, max_sweeps)
 
 

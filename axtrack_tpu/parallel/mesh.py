@@ -41,32 +41,71 @@ def make_mesh(n_data=None, n_model=None, devices=None):
     return Mesh(dev_array, ('data', 'model'))
 
 
-def param_partition_spec(path, leaf):
+def _path_names(path):
+    return [str(getattr(p, 'key', getattr(p, 'name', p))) for p in path]
+
+
+def _dense_name(path):
+    """The Dense module component of a param path, or None."""
+    for n in _path_names(path):
+        if n.startswith('Dense'):
+            return n
+    return None
+
+
+def _dense_order(params):
+    """Dense module names in definition order (flax numbers them
+    Dense_0, Dense_1, ...; sorting by the numeric suffix is robust to
+    convs/BN interspersed in the tree and to missing indices)."""
+    names = set()
+
+    def collect(path, leaf):
+        n = _dense_name(path)
+        if n is not None:
+            names.add(n)
+        return leaf
+
+    jax.tree_util.tree_map_with_path(collect, params)
+
+    def key(n):
+        tail = n.rsplit('_', 1)[-1]
+        return (int(tail) if tail.isdigit() else -1, n)
+
+    return sorted(names, key=key)
+
+
+def param_partition_spec(path, leaf, dense_order=()):
     """PartitionSpec for one model parameter.
 
-    Conv kernels/biases + BatchNorm: replicated (small). Dense layers:
-    alternate column-parallel / row-parallel over 'model' so consecutive FCs
-    chain without resharding (Megatron pattern); the final 432-dim head is
-    replicated.
+    Conv kernels/biases + BatchNorm: replicated (small). The FC stack is
+    Megatron tensor-parallel over 'model': the hidden Dense layers
+    alternate column-parallel / row-parallel (so consecutive FCs chain
+    without resharding), and the FINAL Dense — the small Sy*Sx*3 output
+    head — is replicated. ``dense_order`` is the model's Dense module
+    names in definition order (see _dense_order); position in that list,
+    not the raw flax index parity, decides the layout.
     """
-    names = [getattr(p, 'key', getattr(p, 'name', str(p))) for p in path]
-    joined = '/'.join(str(n) for n in names)
-    if 'Dense' in joined and leaf.ndim >= 1:
-        dense_idx = int([n for n in names if str(n).startswith('Dense')][-1]
-                        .split('_')[-1])
-        if leaf.ndim == 2 and min(leaf.shape) >= 2:
-            if dense_idx % 2 == 0:
-                return P(None, 'model')       # column parallel
-            return P('model', None)           # row parallel
-        if leaf.ndim == 1 and dense_idx % 2 == 0 and leaf.shape[0] >= 2:
-            return P('model')
+    name = _dense_name(path)
+    if name is None or name not in dense_order or leaf.ndim < 1:
+        return P()
+    pos = dense_order.index(name)
+    if pos == len(dense_order) - 1:
+        return P()                            # output head: replicated
+    if leaf.ndim == 2 and min(leaf.shape) >= 2:
+        if pos % 2 == 0:
+            return P(None, 'model')           # column parallel
+        return P('model', None)               # row parallel
+    if leaf.ndim == 1 and pos % 2 == 0 and leaf.shape[0] >= 2:
+        return P('model')                     # column-parallel bias
     return P()
 
 
 def shard_params(params, mesh):
     """device_put a param pytree with TP shardings over the mesh."""
+    dense_order = _dense_order(params)
+
     def place(path, leaf):
-        spec = param_partition_spec(path, leaf)
+        spec = param_partition_spec(path, leaf, dense_order)
         # only shard when divisible; else replicate
         for ax_name, dim in zip(spec, leaf.shape):
             if ax_name is not None and dim % mesh.shape[ax_name] != 0:

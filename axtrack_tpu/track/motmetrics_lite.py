@@ -39,6 +39,9 @@ def mot_metrics(gt_df, pred_df, distth):
 
     matches_prev = {}        # gt id -> pred id from previous frame
     num_misses = num_fp = num_switches = num_matches = 0
+    num_fragmentations = 0
+    ever_matched = set()     # gt ids that have been tracked at least once
+    frag_pending = set()     # tracked -> untracked; counts on re-track
     dist_sum = 0.0
     gt_frames_per_track = {}
     tracked_frames_per_track = {}
@@ -89,8 +92,15 @@ def mot_metrics(gt_df, pred_df, distth):
                 if g in last_match_of_gt and last_match_of_gt[g] != matches[g]:
                     num_switches += 1
                 last_match_of_gt[g] = matches[g]
+                # re-tracked after an interruption -> one fragmentation
+                if g in frag_pending:
+                    num_fragmentations += 1
+                    frag_pending.discard(g)
+                ever_matched.add(g)
             else:
                 num_misses += 1
+                if g in ever_matched:
+                    frag_pending.add(g)
         num_fp += len(p_ids) - len(set(matches.values()) & set(p_ids))
         matches_prev = matches
 
@@ -152,6 +162,8 @@ def mot_metrics(gt_df, pred_df, distth):
         'partially_tracked': partially_tracked,
         'mostly_lost': mostly_lost,
         'num_false_positives': num_fp, 'num_misses': num_misses,
-        'num_switches': num_switches, 'num_matches': num_matches,
+        'num_switches': num_switches,
+        'num_fragmentations': num_fragmentations,
+        'num_matches': num_matches,
         'mota': mota, 'motp': motp,
     })

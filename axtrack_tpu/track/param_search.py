@@ -1,0 +1,98 @@
+"""Parallel MCF hyperparameter grid search.
+
+The reference walks its ~960-combo grid sequentially, re-running cost
+construction + the OR-Tools solve + py-motmetrics per combo
+(reference AxonDetections.py:845-922). The inputs that are EXPENSIVE to
+produce — detections, geodesic distance matrices, appearance features,
+the ground-truth table — are fixed across the whole grid; only the cheap
+host-side cost build + MCF solve + metric pass vary. So the grid is
+embarrassingly parallel: combos fan out over a fork-based process pool
+(copy-on-write shares the big arrays; nothing is re-pickled per task).
+
+Results are bit-identical to the sequential loop (each combo is
+independent and the SSP solver is deterministic); a test asserts it.
+"""
+import os
+
+import numpy as np
+import pandas as pd
+
+from . import tracker
+from .motmetrics_lite import mot_metrics
+
+# module-level context shared with forked workers (CoW — set before fork)
+_CTX = {}
+
+_COMBO_KEYS = ('edge_cost_thr', 'entry_exit_cost', 'miss_rate',
+               'vis_sim_weight', 'conf_capping_method')
+
+
+def _trajectories_to_libmot(trajectories, frame_dets, axon_box_size):
+    """IDed trajectories -> libmot-format DataFrame (FrameId, Id) index,
+    matching AxonDetections.det2libmot_det output for IDed detections."""
+    half = axon_box_size // 2
+    rows = []
+    for axon_id, traj in enumerate(trajectories):
+        for (t, det_i) in traj:
+            fd = frame_dets[t]
+            rows.append((t, axon_id,
+                         float(fd['x'][det_i]) - half,
+                         float(fd['y'][det_i]) - half,
+                         float(axon_box_size), float(axon_box_size),
+                         float(fd['conf'][det_i])))
+    cols = ['FrameId', 'Id', 'X', 'Y', 'Width', 'Height', 'conf']
+    df = pd.DataFrame(rows, columns=cols)
+    return df.set_index(['FrameId', 'Id']).sort_index()
+
+
+def _eval_combo(combo):
+    """One grid point: solve + score. Runs in a worker process."""
+    ec, eec, mr, vsw, ccm = combo
+    ctx = _CTX
+    p = dict(ctx['mcf_params'])
+    p.update(MCF_EDGE_COST_THR=ec, MCF_ENTRY_EXIT_COST=eec,
+             MCF_MISS_RATE=mr, MCF_VIS_SIM_WEIGHT=vsw,
+             MCF_CONF_CAPPING_METHOD=ccm)
+    result = tracker.assign_identities(ctx['dets'], ctx['astar_dists'], p,
+                                       ctx['vis_feats'])
+    if result is None:
+        return None
+    pred = _trajectories_to_libmot(result.trajectories, ctx['dets'],
+                                   ctx['axon_box_size'])
+    res = mot_metrics(ctx['target'], pred, distth=ctx['distth'])
+    row = pd.Series(combo, _COMBO_KEYS)
+    return pd.concat([row, res])
+
+
+def search_grid(dets, astar_dists, mcf_params, target, distth,
+                axon_box_size, combos, vis_feats=None, n_jobs=None):
+    """Evaluate every combo; returns the results DataFrame (combo columns
+    + MOT metric columns), infeasible combos dropped — same rows/order as
+    the sequential reference loop.
+
+    n_jobs: process count; None -> min(cpu_count, 16); 1 -> in-process
+    sequential (also used automatically when fork is unavailable).
+    """
+    _CTX.update(dets=dets, astar_dists=astar_dists, mcf_params=mcf_params,
+                target=target, distth=distth, axon_box_size=axon_box_size,
+                vis_feats=vis_feats)
+    if n_jobs is None:
+        n_jobs = int(os.environ.get('AXTRACK_SEARCH_JOBS',
+                                    min(os.cpu_count() or 1, 16)))
+    try:
+        import multiprocessing as mp
+        can_fork = 'fork' in mp.get_all_start_methods()
+    except Exception:
+        can_fork = False
+
+    if n_jobs > 1 and can_fork and len(combos) > 1:
+        ctx = mp.get_context('fork')
+        with ctx.Pool(min(n_jobs, len(combos))) as pool:
+            rows = pool.map(_eval_combo, combos, chunksize=4)
+    else:
+        rows = [_eval_combo(c) for c in combos]
+
+    rows = [r for r in rows if r is not None]
+    if not rows:
+        return pd.DataFrame(columns=list(_COMBO_KEYS))
+    return pd.concat(rows, axis=1).T

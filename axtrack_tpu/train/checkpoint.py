@@ -62,9 +62,24 @@ def load_checkpoint(load_model, state, device=None):
     print('=> Loading model checkpoint...', end='')
     print(load_model)
     if isinstance(load_model, str):
+        if load_model.endswith(('.pth', '.pt')):
+            # a reference torch checkpoint: convert in place
+            # (models/torch_convert.py; reference utils.py:265-288 loads
+            # these with torch.load)
+            from ..models.torch_convert import load_torch_checkpoint
+            variables = load_torch_checkpoint(load_model, state.P)
+            state.params = jax.tree.map(jax.numpy.asarray,
+                                        variables['params'])
+            state.batch_stats = jax.tree.map(jax.numpy.asarray,
+                                             variables['batch_stats'])
+            print(f' - {load_model} (torch->flax) - Done.\n', flush=True)
+            return
         cands = sorted(glob.glob(f'{load_model}/E*'))
         cands = [c for c in cands if os.path.isdir(c)]
         if not cands:
+            pth = sorted(glob.glob(f'{load_model}/E*.pth'))
+            if pth:
+                return load_checkpoint(pth[0], state, device)
             raise FileNotFoundError(f'no checkpoint dirs in {load_model}')
         file = cands[0]
     else:

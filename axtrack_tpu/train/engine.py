@@ -154,35 +154,36 @@ def gather_batch(dataset, indices):
     return X, target
 
 
-def run_epoch_device(state, steps_unused, dataset, which_dataset, P,
-                     batch_indices):
-    """Device-resident epoch: the epoch's tiles cross to the device once
-    and a jitted lax.scan runs every full batch (gather + forward +
-    backward + update) without host round-trips. The remainder batch (when
-    DROP_LAST=False) runs as one extra step at its own shape — semantics
-    identical to the streaming loop.
+def _make_scan_epoch(state, which_dataset, tc, K):
+    """Build the jitted epoch-scan program for (which_dataset, tc, K).
 
-    Returns the per-batch loss-component DataFrame like run_epoch.
+    Cached on the TrainState: a fresh function object per epoch would be a
+    jit-cache miss and a full retrace+compile of the whole epoch scan every
+    epoch (20-60s through the TPU tunnel; at the reference's 1501 epochs
+    that dominates training). The epoch's tiles/targets are ARGUMENTS —
+    augmentation redraws change their values, not the program.
     """
-    tc = dataset.temporal_context
-    K = dataset.X_tiled.shape[1]
-    tiles = jnp.asarray(dataset.X_tiled)
-    targets = jnp.asarray(dataset.target_tiled)
-    tp_idx = jnp.asarray(np.asarray(dataset.timepoints_indices), jnp.int32)
-    train_step, eval_step = make_train_step(state.model, state.tx, state.P)
-
-    def gather(idx):
-        t_idx, tile_idx = jnp.divmod(idx, K)
-        t_all = tp_idx[t_idx]
-        ctx = t_all[:, None] + jnp.arange(-tc, tc + 1)[None, :]
-        X = tiles[ctx, tile_idx[:, None]]
-        if X.ndim == 5:       # motion modes: frame-major channels
-            X = X.reshape(X.shape[0], -1, *X.shape[-2:])
-        X = jnp.moveaxis(X, 1, -1)
-        return X, targets[t_all, tile_idx]
+    cache = getattr(state, '_epoch_progs', None)
+    if cache is None:
+        cache = state._epoch_progs = {}
+    key = (which_dataset, tc, K)
+    if key in cache:
+        return cache[key]
+    train_step, eval_step = state._steps
 
     @jax.jit
-    def scan_epoch(params, batch_stats, opt_state, idx_batches):
+    def scan_epoch(params, batch_stats, opt_state, tiles, targets, tp_idx,
+                   idx_batches):
+        def gather(idx):
+            t_idx, tile_idx = jnp.divmod(idx, K)
+            t_all = tp_idx[t_idx]
+            ctx = t_all[:, None] + jnp.arange(-tc, tc + 1)[None, :]
+            X = tiles[ctx, tile_idx[:, None]]
+            if X.ndim == 5:       # motion modes: frame-major channels
+                X = X.reshape(X.shape[0], -1, *X.shape[-2:])
+            X = jnp.moveaxis(X, 1, -1)
+            return X, targets[t_all, tile_idx]
+
         def step(carry, idx):
             params, bs, opt = carry
             X, tgt = gather(idx)
@@ -197,6 +198,28 @@ def run_epoch_device(state, steps_unused, dataset, which_dataset, P,
             step, (params, batch_stats, opt_state), idx_batches)
         return params, bs, opt, comps
 
+    cache[key] = scan_epoch
+    return scan_epoch
+
+
+def run_epoch_device(state, steps, dataset, which_dataset, P,
+                     batch_indices):
+    """Device-resident epoch: the epoch's tiles cross to the device once
+    and a jitted lax.scan runs every full batch (gather + forward +
+    backward + update) without host round-trips. The remainder batch (when
+    DROP_LAST=False) runs as one extra step at its own shape — semantics
+    identical to the streaming loop.
+
+    Returns the per-batch loss-component DataFrame like run_epoch.
+    """
+    tc = dataset.temporal_context
+    K = dataset.X_tiled.shape[1]
+    tiles = jnp.asarray(dataset.X_tiled)
+    targets = jnp.asarray(dataset.target_tiled)
+    tp_idx = jnp.asarray(np.asarray(dataset.timepoints_indices), jnp.int32)
+    train_step, eval_step = steps
+    scan_epoch = _make_scan_epoch(state, which_dataset, tc, K)
+
     bs_size = P['BATCH_SIZE']
     n_full = len(batch_indices) // bs_size
     full = jnp.asarray(
@@ -208,7 +231,7 @@ def run_epoch_device(state, steps_unused, dataset, which_dataset, P,
     if n_full:
         (state.params, state.batch_stats, state.opt_state,
          comps) = scan_epoch(state.params, state.batch_stats,
-                             state.opt_state, full)
+                             state.opt_state, tiles, targets, tp_idx, full)
         comps = jax.tree.map(np.asarray, comps)
         for b in range(n_full):
             all_comps.append(pd.Series(

@@ -81,6 +81,16 @@ def save_epoch_results(epoch_info, epoch, parameters, train_data, test_data,
     epoch_info.to_pickle(f'{METRICS_DIR}/E{epoch:0>4}.pkl')
     epoch_info.to_csv(f'{METRICS_DIR}/E{epoch:0>4}.csv')
 
+    # persist this epoch's augmentation draws — with the seeded RNG these
+    # make any epoch's exact input reconstructible
+    import json
+    with open(f'{METRICS_DIR}/transform_draws.jsonl', 'a') as f:
+        f.write(json.dumps({
+            'epoch': epoch,
+            'train': getattr(train_data, 'last_transform_configs', None),
+            'test': getattr(test_data, 'last_transform_configs', None),
+        }) + '\n')
+
     if epoch == 0 and parameters['PLOT_PREPROC']:
         os.makedirs(f'{RUN_DIR}/preproc_data/', exist_ok=True)
         save_preproc_metrics(f'{RUN_DIR}/preproc_data/', train_data,

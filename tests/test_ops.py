@@ -198,6 +198,33 @@ class TestTargets:
         # exactly 3 positive cells
         assert grid[..., 0].sum() == 3
 
+    def test_tiled_target2yolo_format_matches_fused_scatter(self):
+        """The public per-tile utility (Timelapse.tiled_target2yolo_format,
+        reference Timelapse.py:451-490) agrees with the fused device
+        scatter used by construct_tiles."""
+        from axtrack_tpu.data.timelapse import Timelapse
+        ts, Sy, Sx = 512, 12, 12
+        tl = Timelapse.__new__(Timelapse)
+        tl.tilesize, tl.Sy, tl.Sx = ts, Sy, Sx
+        # 2x2 tiles, 2 frames, 3 axons; tile-LOCAL (y, x); -1 = absent
+        tt = np.full((2, 2, 2, 3, 2), -1.0, np.float32)
+        tt[0, 0, 0, 0] = (100.0, 200.0)
+        tt[1, 1, 1, 1] = (88.0, 388.0)
+        tt[0, 1, 0, 2] = (511.0, 511.0)
+        got = tl.tiled_target2yolo_format(tt)
+        assert got.shape == (2, 2, 2, Sx, Sy, 4)
+
+        # same labels in frame-global coords through the fused scatter
+        anchors = np.array([[100.0, 200.0], [600.0, 900.0],
+                            [511.0, 1023.0]], np.float32)
+        grid = np.asarray(labels_to_yolo_grid(
+            jnp.asarray(anchors), jnp.asarray([0, 1, 2]),
+            jnp.asarray([0, 1, 0]), jnp.asarray([True] * 3),
+            ny=2, nx=2, Sy=Sy, Sx=Sx, tilesize=ts, n_frames=2))
+        # fused grid is [T, ny, nx, Sx, Sy, 4]; utility is [ny, nx, T, ...]
+        np.testing.assert_allclose(got.transpose(2, 0, 1, 3, 4, 5), grid,
+                                   atol=1e-5)
+
     def test_padded_labels_dropped(self):
         anchors = np.array([[10.0, 10.0]], np.float32)
         grid = np.asarray(labels_to_yolo_grid(

@@ -61,6 +61,71 @@ class TestMesh:
                 assert 'model' in str(leaf.sharding.spec)
 
 
+class TestFullScaleTP:
+    """The TP layer at the scale it exists for: deployed ARCHITECTURE
+    (512px tiles, full conv progression, 2xFC-1024 + 432 head)."""
+
+    def test_sharded_equals_unsharded_full_arch(self):
+        P = get_default_parameters()
+        P.update(dict(TILESIZE=512, BATCH_SIZE=8))
+        state = engine.setup_model(P)
+        from axtrack_tpu.models.loss import yolo_loss
+        loss_kw = dict(Sy=P['SY'], Sx=P['SX'], lambda_obj=P['L_OBJECT'],
+                       lambda_noobj=P['L_NOBJECT'],
+                       lambda_coord_anchor=P['L_COORD_ANCHOR'])
+
+        @jax.jit
+        def loss_and_grads(params, bs, X, tgt):
+            def f(p):
+                out = state.model.apply({'params': p, 'batch_stats': bs},
+                                        X, train=False)
+                return yolo_loss(out, tgt, **loss_kw)[0]
+            return jax.value_and_grad(f)(params)
+
+        rng = np.random.default_rng(0)
+        X = jnp.asarray(rng.random((8, 512, 512, 5), np.float32))
+        tgt = jnp.zeros((8, 12, 12, 4))
+        l_ref, g_ref = loss_and_grads(state.params, state.batch_stats,
+                                      X, tgt)
+
+        m = M.make_mesh()
+        sp = M.shard_params(state.params, m)
+        l_sh, g_sh = loss_and_grads(sp, M.replicate(state.batch_stats, m),
+                                    M.shard_batch(X, m),
+                                    M.shard_batch(tgt, m))
+        np.testing.assert_allclose(float(l_ref), float(l_sh), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_sh)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+        # the hidden FCs are TP-sharded at width 1024; the head replicated
+        from jax.sharding import PartitionSpec as PS
+        import jax.tree_util as jtu
+        specs = {}
+        for path, leaf in jtu.tree_flatten_with_path(sp)[0]:
+            n = '/'.join(str(getattr(p, 'key', p)) for p in path)
+            if 'Dense' in n and 'kernel' in n:
+                specs[n] = leaf.sharding.spec
+        assert specs['Dense_0/kernel'] == PS(None, 'model')
+        assert specs['Dense_1/kernel'] == PS('model', None)
+        assert specs['Dense_2/kernel'] == PS()       # 432 head: replicated
+
+    def test_indivisible_width_falls_back_to_replicated(self, small_P):
+        P = dict(small_P)
+        P['ARCHITECTURE'] = [
+            [(3, 8, 2, 1), 'M', (3, 8, 1, 1), 'M'],
+            [('FC', 63), ('activation', 'sigmoid')],   # 63 % 2 != 0
+        ]
+        m = M.make_mesh()
+        state = engine.setup_model(P)
+        sp = M.shard_params(state.params, m)
+        import jax.tree_util as jtu
+        for path, leaf in jtu.tree_flatten_with_path(sp)[0]:
+            n = '/'.join(str(getattr(p, 'key', p)) for p in path)
+            if 'Dense_0/kernel' in n:
+                assert leaf.sharding.is_fully_replicated
+
+
 class TestMultiMovie:
     def test_batched_movies_sharded(self, small_P):
         mesh = M.make_mesh(n_data=4, n_model=2)

@@ -201,6 +201,25 @@ class TestMCFParamSearch:
         # oracle detections -> near-perfect tracking for sane params
         assert res['idf1'].max() > 0.95
 
+    def test_parallel_equals_sequential(self, dataset, params,
+                                        tmp_path_factory):
+        """The fanned-out grid must reproduce the sequential loop exactly."""
+        import pandas as pd
+        from axtrack_tpu.data.synthetic import OracleDetector
+        from axtrack_tpu.detections import AxonDetections
+        d = tmp_path_factory.mktemp('mcfsearch_par')
+        oracle = OracleDetector(dataset, conf=0.95)
+        ax = AxonDetections(oracle, dataset, params, str(d))
+        ax.detect_dataset()
+        ax.assign_ids(astar_paths_cache='to')
+        kw = dict(edge_cost_thr_values=[0.7, 1.0],
+                  entry_exit_cost_values=[1],
+                  miss_rate_values=[0.6], vis_sim_weight_values=[0],
+                  conf_capping_method_values=['ceil', 'scale_to_max'])
+        seq = ax.search_MCF_params(n_jobs=1, **kw)
+        par = ax.search_MCF_params(n_jobs=4, **kw)
+        pd.testing.assert_frame_equal(seq, par)
+
 
 class TestAccessorPaths:
     @pytest.fixture(scope='class')
