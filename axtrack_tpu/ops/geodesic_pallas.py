@@ -33,10 +33,20 @@ SRC_BLOCK = 16   # sources per program; 16 amortizes vector-op latency
 def _row_relax(c, k, W):
     """Bidirectional obstacle-respecting min-plus relax of [B, W] rows.
 
-    Select-based edge handling (1 op) instead of arithmetic blends (3 ops),
-    and no overflow guard on the k ladder: k entries are 1 or INF=1e9; after
-    log2(W)<=9 doubling steps sums stay < 1e12, far below f32 max, and any
-    value >= INF already blocks propagation semantically.
+    Hillis-Steele composition doubling on (c, k): after the step of size s,
+    (c, k)[i] represents the relax over the span (i-s, i]. Three exactness
+    arguments keep the op count minimal:
+    - c edge handling is a single select to INF (wrapped c values would be
+      wall-through shortcuts; they must never win a min).
+    - the k ladder needs NO edge handling at all: a wrapped/contaminated
+      k[i] exists only at columns i < s, exactly where the rolled c is
+      already INF, so a wrong k there can only produce INF + k (never a
+      spurious finite distance). Where c is finite (i >= s), k's span
+      (i-s, i] is fully in-bounds and exact.
+    - the final doubling step skips the k update entirely (nothing reads
+      k afterwards).
+    No overflow guard: k entries are 1 or INF=1e9; log2(W)<=9 doublings
+    keep sums < 1e12, far below f32 max, and anything >= INF blocks.
     """
     col = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
 
@@ -46,16 +56,18 @@ def _row_relax(c, k, W):
         while s < W:
             if from_left:
                 cs = pltpu.roll(cc, shift=s, axis=1)
-                ks = pltpu.roll(kk, shift=s, axis=1)
                 edge = col < s
             else:
                 cs = pltpu.roll(cc, shift=W - s, axis=1)   # roll by -s
-                ks = pltpu.roll(kk, shift=W - s, axis=1)
                 edge = col >= W - s
             cs = jnp.where(edge, jnp.float32(INF), cs)
-            ks = jnp.where(edge, jnp.float32(0), ks)
             cc = jnp.minimum(cc, cs + kk)
-            kk = ks + kk
+            if s * 2 < W:
+                if from_left:
+                    ks = pltpu.roll(kk, shift=s, axis=1)
+                else:
+                    ks = pltpu.roll(kk, shift=W - s, axis=1)
+                kk = ks + kk
             s *= 2
         return cc
 
@@ -209,59 +221,93 @@ def batched_windows_pallas(passable_padded, srcs_yx, window, max_sweeps=4,
 @partial(jax.jit, static_argnames=('window', 'sweeps', 'interpret'))
 def _continue_windows_pallas(passable_padded, srcs_yx, dmaps, window,
                              sweeps, interpret=False):
-    """Run ``sweeps`` more chamfer sweeps starting from previous maps."""
+    """Run ``sweeps`` more chamfer sweeps starting from previous maps.
+
+    Returns (dmaps, converged) — converged is the exactness certificate
+    (_locally_consistent) of the continued maps.
+    """
     N, Np, origins, local = _pad_srcs(passable_padded, srcs_yx, window)
     crops = _crops_for(passable_padded, origins, local, window, Np)
     init = jnp.pad(dmaps, ((0, Np - N), (0, 0), (0, 0)),
                    constant_values=INF)
     out = _launch(local, crops, window, sweeps, interpret, init=init)
-    return out[:N]
+    return out[:N], _locally_consistent(out, crops)
+
+
+def _locally_consistent(dmaps, crops):
+    """Exactness certificate for chamfer distance maps.
+
+    The kernel only ever applies valid relaxations starting from
+    d=INF/d[src]=0, so every map is an UPPER bound on the true 4-connected
+    geodesic distance. If additionally every passable cell satisfies the
+    local triangle inequality d[v] <= min_{passable 4-neighbors u} d[u] + 1,
+    then induction along any true shortest path gives d <= true distance —
+    so d is EXACT. One fused pointwise pass over the maps (XLA, no second
+    kernel launch) therefore certifies global optimality; this is stronger
+    and ~a sweep cheaper than re-running the kernel and comparing.
+
+    Blocked cells hold INF and window borders contribute INF neighbors, so
+    both are inert in the min. d values are exact integers (or INF); the
+    +1.5 tolerance only separates "> +1" from "== +1".
+    """
+    big = jnp.float32(INF)
+    up = jnp.concatenate([jnp.full_like(dmaps[:, :1, :], big),
+                          dmaps[:, :-1, :]], axis=1)
+    down = jnp.concatenate([dmaps[:, 1:, :],
+                            jnp.full_like(dmaps[:, :1, :], big)], axis=1)
+    left = jnp.concatenate([jnp.full_like(dmaps[:, :, :1], big),
+                            dmaps[:, :, :-1]], axis=2)
+    right = jnp.concatenate([dmaps[:, :, 1:],
+                             jnp.full_like(dmaps[:, :, :1], big)], axis=2)
+    nb = jnp.minimum(jnp.minimum(up, down), jnp.minimum(left, right))
+    bad = (crops > 0.5) & (dmaps > nb + 1.5) & (dmaps > 0.5)
+    return jnp.logical_not(jnp.any(bad))
 
 
 @partial(jax.jit, static_argnames=('window', 'max_sweeps', 'interpret'))
 def batched_windows_probed(passable_padded, srcs_yx, window, max_sweeps=1,
                            interpret=False):
-    """batched_windows_pallas + an in-program convergence probe.
+    """batched_windows_pallas + an in-program exactness certificate.
 
-    Runs ``max_sweeps`` sweeps, then ONE extra probe sweep, and compares:
-    distances are monotonically non-increasing in sweeps, so
-    probe == maps <=> fixpoint <=> exact. Everything stays on device — the
+    Runs ``max_sweeps`` sweeps, then certifies the maps with the
+    local-consistency check (see _locally_consistent) — a cheap fused XLA
+    pass, not a second kernel launch. Everything stays on device: the
     caller fetches ``converged`` alongside its other results (no extra
     round-trip) and only re-launches with a bigger budget when it is False.
 
-    Returns (dmaps f32[N, window, window] — the PROBE maps, i.e. the most
-    converged ones; origins i32[N, 2]; converged bool[]).
+    Returns (dmaps f32[N, window, window], origins i32[N, 2],
+    converged bool[] — True means the maps are exactly the 4-connected
+    geodesic distances, parity with native/astar.cpp).
     """
     N, Np, origins, local = _pad_srcs(passable_padded, srcs_yx, window)
     crops = _crops_for(passable_padded, origins, local, window, Np)
     dmaps = _launch(local, crops, window, max_sweeps, interpret)
-    probe = _launch(local, crops, window, 1, interpret, init=dmaps)
-    converged = jnp.logical_not(jnp.any(probe < dmaps - 0.5))
-    return probe[:N], origins[:N], converged
+    converged = _locally_consistent(dmaps, crops)
+    return dmaps[:N], origins[:N], converged
 
 
 def batched_windows_converged(passable_padded, srcs_yx, window,
                               max_sweeps=8, max_total_sweeps=512,
                               interpret=False):
-    """batched_windows_pallas with a convergence GUARANTEE.
+    """batched_windows_pallas with an exactness GUARANTEE.
 
     A fixed sweep count silently caps distances on masks whose geodesics
     have more direction reversals than sweeps (VERDICT r1 weak #5). This
     wrapper keeps the kernel free of scalar convergence carries (the
-    documented 50x v5e regression) and instead probes BETWEEN launches:
-    one extra sweep on the produced maps; if anything still decreased,
-    double the sweep budget and continue from the current maps.
-    Distances are monotonically non-increasing in sweeps, so
-    probe == current <=> fixpoint <=> exact (parity with native/astar.cpp).
+    documented 50x v5e regression) and instead certifies the produced maps
+    with the local-consistency check (_locally_consistent): the maps are
+    upper bounds by construction, so local consistency <=> exact
+    4-connected geodesic distances (parity with native/astar.cpp). If the
+    certificate fails, the sweep budget doubles and the kernel CONTINUES
+    from the current maps.
 
-    Cost when already converged: one extra 1-sweep launch (~1/max_sweeps
-    of the main launch), fused into the same program as the main launch
-    (batched_windows_probed) so no extra dispatch round-trip is paid.
+    Cost when already converged: one fused XLA pointwise pass over the
+    maps — no extra kernel launch and no extra dispatch round-trip.
     """
     dmaps, origins, converged = batched_windows_probed(
         passable_padded, srcs_yx, window, max_sweeps=max_sweeps,
         interpret=interpret)
-    total = max_sweeps + 1
+    total = max_sweeps
     while True:
         if bool(converged):
             return dmaps, origins
@@ -271,10 +317,7 @@ def batched_windows_converged(passable_padded, srcs_yx, window,
                 f'geodesic chamfer not converged after {total} sweeps; '
                 f'distances may be over-reported on this mask')
             return dmaps, origins
-        cont = _continue_windows_pallas(passable_padded, srcs_yx, dmaps,
-                                        window, total, interpret=interpret)
-        probe = _continue_windows_pallas(passable_padded, srcs_yx, cont,
-                                         window, 1, interpret=interpret)
-        converged = jnp.logical_not(jnp.any(probe < cont - 0.5))
-        dmaps = probe
+        dmaps, converged = _continue_windows_pallas(
+            passable_padded, srcs_yx, dmaps, window, total,
+            interpret=interpret)
         total *= 2

@@ -90,8 +90,7 @@ def build_tpu_stages(frames, mask, P, model, variables, n_frames):
     pairs = [(s, gap) for s in range(n_frames - 1) for gap in (1, 2)
              if s + gap < n_frames]
 
-    @jax.jit
-    def stage_pre(fr_u16, m, flat_idx):
+    def _pre(fr_u16, m, flat_idx):
         x = fr_u16.astype(jnp.float32) / 65535.0
         _, std, _ = PP.nonzero_stats(x)
         proc = PP.preprocess_frames(x, m, 0.0, 55 / 2 ** 16, jnp.mean(std))
@@ -104,8 +103,12 @@ def build_tpu_stages(frames, mask, P, model, variables, n_frames):
     # utilization); chunk size bounds the 5x context-duplicated activations
     DET_CHUNK = 4
 
+    # preproc+tiling fused into the detection program: both are pure XLA
+    # (the scheduling pathology that forbids one mega-jit only involves the
+    # Pallas chamfer stage), and one fewer dispatch saves a tunnel hop
     @jax.jit
-    def stage_det(flat_tiles, tile_yx):
+    def stage_det(fr_u16, m, flat_idx, tile_yx):
+        flat_tiles = _pre(fr_u16, m, flat_idx)
         K = flat_tiles.shape[1]
         outs = []
         for c0 in range(0, n_frames, DET_CHUNK):
@@ -169,7 +172,7 @@ def build_tpu_stages(frames, mask, P, model, variables, n_frames):
     t_transfer = time.perf_counter() - t0
     log(f'input staging: {t_transfer:.2f}s for '
         f'{frames_u16.nbytes / 1e6:.0f}MB')
-    return dict(stage_pre=stage_pre, stage_det=stage_det,
+    return dict(stage_det=stage_det,
                 stage_assoc=stage_assoc, stage_assoc_retry=stage_assoc_retry,
                 args=(fr_d, m_d, flat_d, tyx_d),
                 pairs=pairs, n_frames=n_frames, maxd=MAXD)
@@ -189,8 +192,7 @@ def tpu_pipeline(S, P):
     # scheduling pathology around the Pallas grid); staged programs with
     # device-resident handoff hit the roofline.
     t0 = time.perf_counter()
-    flat_tiles = S['stage_pre'](fr_d, m_d, flat_d)
-    conf_d, xs_d, ys_d, alive_d = S['stage_det'](flat_tiles, tyx_d)
+    conf_d, xs_d, ys_d, alive_d = S['stage_det'](fr_d, m_d, flat_d, tyx_d)
     packed = np.asarray(S['stage_assoc'](m_d, conf_d, ys_d, xs_d, alive_d))
     if packed[-1] == 0.0:  # convergence probe failed: rare general-mask path
         for sweeps, fn in sorted(S['stage_assoc_retry'].items()):

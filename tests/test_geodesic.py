@@ -144,6 +144,22 @@ class TestPallasConvergence:
                                          jnp.float32(500), 64))
         np.testing.assert_array_equal(got, want)
 
+    def test_certificate_flags_underconverged_maps(self):
+        """The local-consistency certificate (batched_windows_probed's
+        third return) is False exactly when a fixed sweep budget
+        under-converged, and True once the maps are oracle-exact."""
+        from axtrack_tpu.ops.geodesic_pallas import batched_windows_probed
+        import jax.numpy as jnp
+        mask = self._serpentine()
+        srcs = np.array([[4, 4]], np.int32)
+        m = jnp.asarray(mask)
+        _, _, ok2 = batched_windows_probed(m, srcs, 64, max_sweeps=2,
+                                           interpret=True)
+        assert not bool(ok2)
+        _, _, ok32 = batched_windows_probed(m, srcs, 64, max_sweeps=32,
+                                            interpret=True)
+        assert bool(ok32)
+
     def test_converged_probe_is_noop_when_converged(self):
         """On an open grid the first launch converges; the probe must not
         change anything."""
