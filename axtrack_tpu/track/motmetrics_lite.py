@@ -7,9 +7,13 @@ this image, so the needed metrics are implemented here:
 
 - CLEAR-MOT (Bernardin & Stiefelhagen): per-frame matching with carryover of
   previous correspondences, Hungarian on the rest -> MOTA, MOTP, misses,
-  false positives, ID switches.
+  false positives, ID switches/fragmentations, and the motmetrics event
+  taxonomy refinements (num_transfer/num_ascend/num_migrate).
 - ID metrics (Ristani et al. 2016): global trajectory LAP -> IDF1/IDP/IDR.
 - track coverage: mostly_tracked (>=80%), partially_tracked, mostly_lost.
+
+The returned Series carries the full ``motchallenge_metrics`` column set the
+reference writes to MCF_params_results.csv (AxonDetections.py:885-896).
 
 Inputs are libmot-format DataFrames: index (FrameId, Id), columns at least
 X, Y (top-left box corner — consistent between GT and predictions, so the
@@ -40,12 +44,14 @@ def mot_metrics(gt_df, pred_df, distth):
     matches_prev = {}        # gt id -> pred id from previous frame
     num_misses = num_fp = num_switches = num_matches = 0
     num_fragmentations = 0
+    num_transfer = num_ascend = num_migrate = 0
     ever_matched = set()     # gt ids that have been tracked at least once
     frag_pending = set()     # tracked -> untracked; counts on re-track
     dist_sum = 0.0
     gt_frames_per_track = {}
     tracked_frames_per_track = {}
-    last_match_of_gt = {}    # for switch counting across gaps
+    last_match_of_gt = {}    # gt id -> last matched pred id (across gaps)
+    last_gt_of_pred = {}     # pred id -> last matched gt id (across gaps)
 
     for f in frames:
         gts = gt.get(f, {})
@@ -89,9 +95,25 @@ def mot_metrics(gt_df, pred_df, distth):
                 num_matches += 1
                 tracked_frames_per_track[g] = \
                     tracked_frames_per_track.get(g, 0) + 1
-                if g in last_match_of_gt and last_match_of_gt[g] != matches[g]:
+                p = matches[g]
+                # event taxonomy matching py-motmetrics (mot.py): a SWITCH
+                # is the object side changing hypothesis, a TRANSFER the
+                # hypothesis side changing object; ASCEND/MIGRATE are the
+                # sub-cases where the new counterpart id was never matched
+                is_switch = (g in last_match_of_gt
+                             and last_match_of_gt[g] != p)
+                is_transfer = (p in last_gt_of_pred
+                               and last_gt_of_pred[p] != g)
+                if is_switch:
                     num_switches += 1
-                last_match_of_gt[g] = matches[g]
+                    if p not in last_gt_of_pred:
+                        num_ascend += 1
+                if is_transfer:
+                    num_transfer += 1
+                    if g not in last_match_of_gt:
+                        num_migrate += 1
+                last_match_of_gt[g] = p
+                last_gt_of_pred[p] = g
                 # re-tracked after an interruption -> one fragmentation
                 if g in frag_pending:
                     num_fragmentations += 1
@@ -155,6 +177,7 @@ def mot_metrics(gt_df, pred_df, distth):
     precision = num_matches / num_pred if num_pred else 0.0
 
     return pd.Series({
+        'num_frames': len(frames),
         'idf1': idf1, 'idp': idp, 'idr': idr,
         'recall': recall, 'precision': precision,
         'num_unique_objects': len(gt_tracks),
@@ -165,5 +188,8 @@ def mot_metrics(gt_df, pred_df, distth):
         'num_switches': num_switches,
         'num_fragmentations': num_fragmentations,
         'num_matches': num_matches,
+        'num_transfer': num_transfer,
+        'num_ascend': num_ascend,
+        'num_migrate': num_migrate,
         'mota': mota, 'motp': motp,
     })

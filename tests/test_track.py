@@ -87,6 +87,32 @@ class TestMotMetricsLite:
         assert res['idf1'] < 1.0
         assert res['mota'] == 1.0 - 2 / 8
 
+    def test_transfer_ascend_migrate_events(self):
+        """The id-swap scenario is, symmetrically, two TRANSFERs (each
+        hypothesis changes object); no brand-new ids -> no ascend/migrate."""
+        gt = self._df([(t, i, 100 * i, 0) for t in range(4)
+                       for i in range(2)])
+        pred_rows = []
+        for t in range(4):
+            for i in range(2):
+                pid = i if t < 2 else 1 - i
+                pred_rows.append((t, pid, 100 * i, 0))
+        res = mot_metrics(gt, self._df(pred_rows), distth=529)
+        assert res['num_transfer'] == 2
+        assert res['num_ascend'] == 0 and res['num_migrate'] == 0
+        assert res['num_frames'] == 4
+
+    def test_ascend_on_new_hypothesis_id(self):
+        """Object switches to a NEVER-seen hypothesis id -> SWITCH+ASCEND,
+        and no transfer (the new hypothesis had no previous object)."""
+        gt = self._df([(t, 0, 0, 0) for t in range(4)])
+        pred = self._df([(t, 0, 0, 0) for t in range(2)]
+                        + [(t, 7, 0, 0) for t in range(2, 4)])
+        res = mot_metrics(gt, pred, distth=529)
+        assert res['num_switches'] == 1
+        assert res['num_ascend'] == 1
+        assert res['num_transfer'] == 0 and res['num_migrate'] == 0
+
     def test_misses_and_fp(self):
         gt = self._df([(t, 0, 0, 0) for t in range(4)])
         pred = self._df([(t, 0, 0, 0) for t in range(2)]
