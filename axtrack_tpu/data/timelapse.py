@@ -22,10 +22,11 @@ import pickle
 
 import numpy as np
 import pandas as pd
+import jax
 import jax.numpy as jnp
 
 from .tiffio import read_tiff
-from .augment import apply_transformations
+from .augment import apply_transformations  # noqa: F401 (re-export)
 from ..ops import preproc as P
 from ..ops import tiling as TL
 from ..ops.targets import labels_to_yolo_grid, frame_labels_from_dataframe
@@ -253,12 +254,13 @@ class Timelapse:
         return timepoints_indices, len(tps), target, frames
 
     # ------------------------------------------------------------ caching
-    _CACHE_SKIP = ('_rng',)
+    _CACHE_SKIP = ('_rng', '_X_dev', '_pmotion_dev', '_nmotion_dev')
 
     def _save_cache(self, cache):
         with open(f'{cache}/{self.name}_dataset_cached.pkl', 'wb') as file:
             print('Serializing dataset for caching', end='...')
-            state = {k: v for k, v in self.__dict__.items()
+            state = {k: (np.asarray(v) if isinstance(v, jax.Array) else v)
+                     for k, v in self.__dict__.items()
                      if k not in self._CACHE_SKIP}
             pickle.dump(state, file, protocol=4)
         print('Done.\n', flush=True)
@@ -275,42 +277,111 @@ class Timelapse:
         print('Done.\n', flush=True)
 
     # ----------------------------------------------------------- tiling
+    def _device_movie(self, attr, host_arr):
+        """Device-resident cache of a base array: shipped to the device ONCE
+        and reused every epoch. Re-shipping the movie per construct_tiles
+        call dominated epoch wall-clock on TPU (the tunnel moves ~50MB/s on
+        incompressible f32; a 2GB movie cost ~40s/epoch)."""
+        dev = getattr(self, attr, None)
+        if dev is None or dev.shape != host_arr.shape:
+            dev = jnp.asarray(host_arr)
+            setattr(self, attr, dev)
+        return dev
+
+    # above this movie size the whole-movie device path would press HBM
+    # (movie + transformed copy + tile stack in flight); chunked path below
+    _DEVICE_MOVIE_BUDGET = int(os.environ.get(
+        'AXTRACK_DEVICE_MOVIE_BUDGET', 4 * 1024 ** 3))
+
     def construct_tiles(self, device=None, force_no_transformation=False):
         """Build X_tiled / target_tiled / tile_info for the current epoch
-        (reference Timelapse.py:492-566). Augmentation redraws each call."""
-        X = jnp.asarray(self.X)
+        (reference Timelapse.py:492-566). Augmentation redraws each call.
+
+        Movies within _DEVICE_MOVIE_BUDGET: all heavy intermediates (the
+        transformed movie, the tile stacks) live on device, and
+        ``X_tiled``/``target_tiled`` are kept as jax arrays so training
+        epochs consume them without any host round-trip (the base movie
+        ships once via _device_movie). Bigger movies (the reference's
+        deployed scale is 327 x 2920 x 6364 f32 = 24GB, beyond one chip's
+        HBM) stream through the device in frame chunks and X_tiled stays on
+        host; the engine's streaming epoch path picks it up from there."""
+        from .augment import (draw_transform_config,
+                              config_to_transform_params, transform_frames,
+                              transform_anchors)
         target = self.target
         self.last_transform_configs = None
+        dy = dx = 0
+        flip_y = flip_x = False
+        angle = None
         if self.transform_configs and not force_no_transformation:
-            X, target, cfg = apply_transformations(
-                self.transform_configs, X, target, self.sizey, self.sizex,
-                self._rng)
+            cfg = draw_transform_config(self.transform_configs, self._rng)
+            dy, dx, flip_y, flip_x, angle = config_to_transform_params(cfg)
+            target = transform_anchors(target, angle, flip_y, flip_x, dy,
+                                       dx, self.sizey, self.sizex)
             self.last_transform_configs = cfg
             print(f'New transform config set: {cfg}')
         print(f'Tiling {self.name} data...', end='', flush=True)
 
         ts = self.tilesize
-        tiles = TL.tile_frames(X, ts)                    # [T_all, ny, nx, ts, ts]
-        keep = TL.nonempty_tile_mask(np.asarray(tiles))
-        if not keep.any():
-            keep[0, 0] = True                            # degenerate all-empty
-        self._tile_flat_idx, self._tile_yx = TL.tile_index_table(keep)
-        K = len(self._tile_flat_idx)
-        T_all = tiles.shape[0]
-        flat = tiles.reshape(T_all, self.ytiles * self.xtiles, ts, ts)
-        if self.use_motion_filtered == 'exclude':
-            self.X_tiled = np.asarray(flat[:, self._tile_flat_idx])
+        T_all = self.X.shape[0]
+        big = (self.X.nbytes > self._DEVICE_MOVIE_BUDGET
+               and self.use_motion_filtered == 'exclude')
+
+        def transform(x):
+            return transform_frames(x, dy=dy, dx=dx, flip_y=flip_y,
+                                    flip_x=flip_x, angle=angle or 0.0)
+
+        if not big:
+            X = transform(self._device_movie('_X_dev', self.X))
+            tiles = TL.tile_frames(X, ts)            # [T_all, ny, nx, ts, ts]
+            keep = TL.nonempty_tile_mask(tiles)      # device reduce
+            if not keep.any():
+                keep[0, 0] = True                    # degenerate all-empty
+            self._tile_flat_idx, self._tile_yx = TL.tile_index_table(keep)
+            flat = tiles.reshape(T_all, self.ytiles * self.xtiles, ts, ts)
+            if self.use_motion_filtered == 'exclude':
+                self.X_tiled = flat[:, self._tile_flat_idx]
+            else:
+                # motion modes: stack (img?, pos, neg) color channels per
+                # tile (reference keeps X as [T, 3, H, W],
+                # Timelapse.py:426-433)
+                chans = [] if self.use_motion_filtered == 'only' else [flat]
+                for aname, mseq in (('_pmotion_dev', self.p_motion_seq),
+                                    ('_nmotion_dev', self.n_motion_seq)):
+                    mt = TL.tile_frames(self._device_movie(aname, mseq), ts)
+                    chans.append(mt.reshape(T_all,
+                                            self.ytiles * self.xtiles,
+                                            ts, ts))
+                self.X_tiled = jnp.stack(
+                    [c[:, self._tile_flat_idx] for c in chans],
+                    axis=2)                       # [T_all, K, C_col, ts, ts]
+            non_empty = np.asarray((tiles > 0).any(axis=(3, 4)))
         else:
-            # motion modes: stack (img?, pos, neg) color channels per tile
-            # (reference keeps X as [T, 3, H, W], Timelapse.py:426-433)
-            chans = [] if self.use_motion_filtered == 'only' else [flat]
-            for mseq in (self.p_motion_seq, self.n_motion_seq):
-                mt = TL.tile_frames(jnp.asarray(mseq), ts)
-                chans.append(mt.reshape(T_all, self.ytiles * self.xtiles,
-                                        ts, ts))
-            stacked = jnp.stack([c[:, self._tile_flat_idx] for c in chans],
-                                axis=2)           # [T_all, K, C_col, ts, ts]
-            self.X_tiled = np.asarray(stacked)
+            # big-movie path: two chunked passes over the frame axis
+            # (transform + tile on device, reduce/gather back) — pass 1
+            # finds the kept-tile set, pass 2 materializes host X_tiled
+            chunk = max(1, int(self._DEVICE_MOVIE_BUDGET
+                               // (4 * self.X[0].nbytes)))
+            keep = np.zeros((self.ytiles, self.xtiles), bool)
+            ne_parts = []
+            for t0 in range(0, T_all, chunk):
+                tiles_c = TL.tile_frames(
+                    transform(jnp.asarray(self.X[t0:t0 + chunk])), ts)
+                ne_parts.append(np.asarray((tiles_c > 0).any(axis=(3, 4))))
+                keep |= ne_parts[-1].any(axis=0)
+            if not keep.any():
+                keep[0, 0] = True
+            self._tile_flat_idx, self._tile_yx = TL.tile_index_table(keep)
+            parts = []
+            for t0 in range(0, T_all, chunk):
+                tiles_c = TL.tile_frames(
+                    transform(jnp.asarray(self.X[t0:t0 + chunk])), ts)
+                flat_c = tiles_c.reshape(tiles_c.shape[0],
+                                         self.ytiles * self.xtiles, ts, ts)
+                parts.append(np.asarray(flat_c[:, self._tile_flat_idx]))
+            self.X_tiled = np.concatenate(parts)     # host-resident
+            non_empty = np.concatenate(ne_parts)
+        K = len(self._tile_flat_idx)
 
         # targets: scatter anchors into the YOLO grid, then gather kept tiles
         anchors_yx, axon_ids, t_idx, valid = frame_labels_from_dataframe(
@@ -322,14 +393,15 @@ class Timelapse:
             tilesize=ts, n_frames=T_all)
         grid = grid.reshape(T_all, self.ytiles * self.xtiles,
                             self.Sx, self.Sy, 4)
-        self.target_tiled = np.asarray(grid[:, self._tile_flat_idx])
+        self.target_tiled = grid[:, self._tile_flat_idx]
 
         # tile_info [ny, nx, T_all, 2]: (non_empty, n_pos_labels) — shape
-        # parity with reference Timelapse.py:551-553
-        non_empty = np.asarray((tiles > 0).any(axis=(3, 4)))      # [T, ny, nx]
+        # parity with reference Timelapse.py:551-553; non_empty [T, ny, nx]
+        # was computed on device in the tiling pass above
         non_empty = np.moveaxis(non_empty, 0, -1)                 # [ny, nx, T]
         npos = np.zeros_like(non_empty, dtype=np.float32)
-        npos_k = self.target_tiled[..., 0].sum((-1, -2))          # [T, K]
+        npos_k = np.asarray(
+            self.target_tiled[..., 0].sum((-1, -2)))              # [T, K]
         for i, fi in enumerate(self._tile_flat_idx):
             ty, tx = divmod(int(fi), self.xtiles)
             npos[ty, tx] = npos_k[:, i]
@@ -370,14 +442,14 @@ class Timelapse:
         (reference Timelapse.py:150-157). Returns jnp arrays."""
         t_all = self.timepoints_indices[timepoint]
         tc = self.temporal_context
-        X = self.X_tiled[t_all - tc:t_all + tc + 1]
+        X = jnp.asarray(self.X_tiled)[t_all - tc:t_all + tc + 1]
         if X.ndim == 5:      # motion modes: [5, K, C_col, ts, ts]
             # -> [K, 5*C_col, ts, ts], frame-major channel order
-            X = np.moveaxis(X, 1, 0).reshape(X.shape[1], -1, *X.shape[-2:])
-            X = np.moveaxis(X, 1, -1)
+            X = jnp.moveaxis(X, 1, 0).reshape(X.shape[1], -1, *X.shape[-2:])
+            X = jnp.moveaxis(X, 1, -1)
         else:
-            X = np.moveaxis(X, 0, -1)                           # [K, ts, ts, C]
-        return jnp.asarray(X), jnp.asarray(self.target_tiled[t_all])
+            X = jnp.moveaxis(X, 0, -1)                          # [K, ts, ts, C]
+        return X, jnp.asarray(self.target_tiled[t_all])
 
     def get_frame_image(self, timepoint):
         """Full processed frame f32[H, W] (the reference reconstructs this

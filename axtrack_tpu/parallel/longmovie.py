@@ -1,0 +1,254 @@
+"""Long-movie sequence parallelism: ONE timelapse sharded across chips.
+
+The reference handles long movies by per-frame host iteration
+(AxonDetections.py:111) — strictly sequential. Here the frame axis of a
+single movie is sharded over the mesh 'data' axis (SURVEY.md §5
+"long-context": shard long movies across chips over ICI):
+
+- detection: each chip preprocesses/tiles/detects its contiguous block of
+  center frames; the ±TEMPORAL_CONTEXT context frames at block edges are
+  fetched from neighbor chips with one ``jax.lax.ppermute`` halo exchange
+  per side (2 frames each — the only cross-chip traffic).
+- association: detections are tiny and replicated; each chip builds the
+  geodesic wavefront windows (Pallas chamfer) for the sources in ITS frame
+  block and gathers the pair distance matrices for lookback gaps 1..2.
+  Per-chip exactness certificates (geodesic_pallas._locally_consistent)
+  come back as one flag per chip.
+
+Everything is expressed with ``shard_map`` — explicit per-device blocks +
+explicit collectives — rather than GSPMD annotations, because the halo
+pattern (2-frame exchange) and the Pallas kernel are clearer and compile
+predictably this way.
+
+Standardization: pass ``var_scalar`` (the deployed train scaler —
+production inference standardizes with the TRAIN scaler, interface.py
+contract). If None, the movie-global mean of per-frame nonzero stds is
+computed with a psum (parity with Timelapse self-standardization).
+"""
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops import preproc as PP
+from ..ops import tiling as TL
+from ..ops.decode import decode_tiled, distance_nms
+from ..models.yolo import detect_axons
+
+
+def _right_perm(n):
+    """ppermute permutation sending each device's payload to its RIGHT
+    neighbor (device d -> d+1); device 0 receives zeros."""
+    return [(d, d + 1) for d in range(n - 1)]
+
+
+def _left_perm(n):
+    return [(d + 1, d) for d in range(n - 1)]
+
+
+def build_sharded_detector(mesh, model, variables, params, n_frames,
+                           flat_idx, tile_yx, max_dets=64, conf_thr=0.55,
+                           var_scalar=None):
+    """Jitted single-movie detector with the FRAME axis sharded over 'data'.
+
+    Args:
+      mesh: jax Mesh with a 'data' axis; n_frames % mesh.shape['data'] == 0.
+      flat_idx, tile_yx: kept-tile index table (ops.tiling.tile_index_table).
+      var_scalar: standardization divisor (train scaler). None -> movie
+        stats via psum.
+
+    Returns fn(frames_u16 [n_frames, H, W], ctx_lead [tc, H, W],
+    ctx_trail [tc, H, W], mask [H, W]) -> (conf, x, y, alive), each
+    [n_frames, max_dets]. frames are the CENTER frames; ctx_lead/trail are
+    the movie's leading/trailing temporal-context frames (uint16 like
+    frames, replicated — tc frames each).
+    """
+    ts = params['TILESIZE']
+    tc = params['TEMPORAL_CONTEXT']
+    clip = params['CLIP_LOWERLIM']
+    nms_r = params['NON_MAX_SUPRESSION_DIST']
+    n_dev = mesh.shape['data']
+    assert n_frames % n_dev == 0, (n_frames, n_dev)
+    T_loc = n_frames // n_dev
+    flat_idx = jnp.asarray(flat_idx)
+    tyx = jnp.asarray(tile_yx)
+
+    def body(fr_loc_u16, ctx_lead, ctx_trail, m):
+        # fr_loc_u16: [T_loc, H, W] this chip's center frames
+        idx = jax.lax.axis_index('data')
+        x = fr_loc_u16.astype(jnp.float32) / 65535.0
+        lead = ctx_lead.astype(jnp.float32) / 65535.0
+        trail = ctx_trail.astype(jnp.float32) / 65535.0
+
+        # halo exchange: last tc frames -> right neighbor, first tc -> left
+        from_left = jax.lax.ppermute(x[-tc:], 'data', _right_perm(n_dev))
+        from_right = jax.lax.ppermute(x[:tc], 'data', _left_perm(n_dev))
+        left = jnp.where(idx == 0, lead, from_left)
+        right = jnp.where(idx == n_dev - 1, trail, from_right)
+        block = jnp.concatenate([left, x, right], axis=0)  # [T_loc+2tc,H,W]
+
+        if var_scalar is not None:
+            vs = jnp.float32(var_scalar)
+        else:
+            # movie-global mean of per-frame nonzero stds, each frame
+            # counted once: own block + edge context on the edge chips
+            _, std_own, _ = PP.nonzero_stats(x)
+            _, std_lead, _ = PP.nonzero_stats(lead)
+            _, std_trail, _ = PP.nonzero_stats(trail)
+            part = (std_own.sum()
+                    + jnp.where(idx == 0, std_lead.sum(), 0.0)
+                    + jnp.where(idx == n_dev - 1, std_trail.sum(), 0.0))
+            vs = jax.lax.psum(part, 'data') / (n_frames + 2 * tc)
+
+        proc = PP.preprocess_frames(block, m, 0.0, clip, vs)
+        tiles = TL.tile_frames(proc, ts)
+        T_all, ny, nx = tiles.shape[:3]
+        flat_tiles = tiles.reshape(T_all, ny * nx, ts, ts)[:, flat_idx]
+
+        def per_frame(c):
+            Xc = jax.lax.dynamic_slice_in_dim(flat_tiles, c, 2 * tc + 1,
+                                              axis=0)
+            Xc = jnp.moveaxis(Xc, 0, -1)
+            grid = detect_axons(model, variables, Xc)
+            dets = decode_tiled(grid, tyx, conf_thr, ts, max_dets=max_dets)
+            alive = distance_nms(dets['conf'], dets['x'], dets['y'],
+                                 dets['valid'], nms_r)
+            return dets['conf'], dets['x'], dets['y'], alive
+
+        return jax.lax.map(per_frame, jnp.arange(T_loc, dtype=jnp.int32))
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P('data'), P(), P(), P()),
+        out_specs=(P('data'), P('data'), P('data'), P('data')),
+        check_rep=False)
+    return jax.jit(fn)
+
+
+def build_sharded_assoc(mesh, n_frames, window=512, max_dets=64,
+                        max_gap=2, max_dist=500.0, max_sweeps=8,
+                        interpret=False):
+    """Jitted association-distance stage with SOURCE FRAMES sharded over
+    'data': each chip runs the Pallas chamfer for the detections in its
+    frame block and gathers lookback-pair distance matrices.
+
+    Returns fn(mask_padded [Hp, Wp] bool, x, y, alive [n_frames, max_dets])
+    -> (D [n_frames, max_gap, max_dets, max_dets] f32 — D[s, g-1] is the
+    source-frame-s vs target-frame-(s+g) matrix, capped at max_dist;
+    entries for s+g >= n_frames are all max_dist —, ok [n_dev] bool
+    per-chip exactness certificates).
+
+    Detections are tiny, so they arrive replicated; only the chamfer work
+    (the expensive part) is sharded.
+    """
+    from ..ops.geodesic import _gather_targets
+    from ..ops import geodesic_pallas as GP
+
+    n_dev = mesh.shape['data']
+    assert n_frames % n_dev == 0, (n_frames, n_dev)
+    T_loc = n_frames // n_dev
+    bad = jnp.int32(-10 ** 6)
+
+    def body(mask_padded, xs, ys, alive):
+        idx = jax.lax.axis_index('data')
+        s0 = idx * T_loc
+        yy = jnp.where(alive, ys.astype(jnp.int32), bad)   # [n_frames, D]
+        xx = jnp.where(alive, xs.astype(jnp.int32), bad)
+        y_loc = jax.lax.dynamic_slice_in_dim(yy, s0, T_loc, 0).reshape(-1)
+        x_loc = jax.lax.dynamic_slice_in_dim(xx, s0, T_loc, 0).reshape(-1)
+        srcs = jnp.stack([y_loc, x_loc], -1)            # [T_loc*D, 2]
+        dmaps, origins, ok = GP.batched_windows_probed(
+            mask_padded, srcs, window, max_sweeps=max_sweeps,
+            interpret=interpret)
+
+        def per_src_frame(s_loc):
+            sl = s_loc * max_dets
+            dm = jax.lax.dynamic_slice_in_dim(dmaps, sl, max_dets, 0)
+            org = jax.lax.dynamic_slice_in_dim(origins, sl, max_dets, 0)
+
+            def per_gap(g):
+                t = s0 + s_loc + g
+                t_ok = t < n_frames
+                t_safe = jnp.minimum(t, n_frames - 1)
+                ty = jax.lax.dynamic_slice_in_dim(yy, t_safe, 1, 0)[0]
+                tx = jax.lax.dynamic_slice_in_dim(xx, t_safe, 1, 0)[0]
+                tg = jnp.stack([ty, tx], -1)
+                D = _gather_targets(dm, org, tg, jnp.float32(max_dist),
+                                    window)
+                return jnp.where(t_ok, D, jnp.float32(max_dist))
+
+            return jax.lax.map(per_gap,
+                               jnp.arange(1, max_gap + 1, dtype=jnp.int32))
+
+        D = jax.lax.map(per_src_frame,
+                        jnp.arange(T_loc, dtype=jnp.int32))
+        return D, ok.reshape(1)
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P('data'), P('data')),
+        check_rep=False)
+    return jax.jit(fn)
+
+
+def pad_mask_for_windows(mask, window):
+    """Zero-pad a bool mask so both dims are >= window (chamfer crops)."""
+    Hp = max(window - mask.shape[0], 0)
+    Wp = max(window - mask.shape[1], 0)
+    return np.pad(np.asarray(mask), ((0, Hp), (0, Wp)))
+
+
+def long_movie_pipeline(mesh, model, variables, params, frames_u16, mask,
+                        max_dets=64, window=512, max_sweeps=8,
+                        var_scalar=None, interpret=False):
+    """End-to-end sharded detect + associate for one long movie.
+
+    frames_u16: uint16 [T_total, H, W] INCLUDING tc leading/trailing
+    context frames (T_total = n_frames + 2*tc). Returns
+    (frame_dets list of dicts, astar_dists {(t, gap): [n_s, n_t]}, ok)
+    in the host format detections.py/track.tracker consume.
+    """
+    tc = params['TEMPORAL_CONTEXT']
+    ts = params['TILESIZE']
+    n_frames = frames_u16.shape[0] - 2 * tc
+    H, W = frames_u16.shape[1:]
+    ny, nx = TL.n_tiles(H, ts), TL.n_tiles(W, ts)
+    mpad = np.zeros((ny * ts, nx * ts), bool)
+    mpad[:H, :W] = np.asarray(mask)
+    keep = mpad.reshape(ny, ts, nx, ts).any((1, 3))
+    flat_idx, tyx = TL.tile_index_table(keep)
+
+    detect = build_sharded_detector(mesh, model, variables, params,
+                                    n_frames, flat_idx, tyx,
+                                    max_dets=max_dets,
+                                    var_scalar=var_scalar)
+    assoc = build_sharded_assoc(mesh, n_frames, window=window,
+                                max_dets=max_dets, max_sweeps=max_sweeps,
+                                interpret=interpret)
+
+    centers = jnp.asarray(frames_u16[tc:tc + n_frames])
+    lead = jnp.asarray(frames_u16[:tc])
+    trail = jnp.asarray(frames_u16[tc + n_frames:])
+    m = jnp.asarray(np.asarray(mask, bool))
+    conf, x, y, alive = detect(centers, lead, trail, m)
+    D, ok = assoc(jnp.asarray(pad_mask_for_windows(mask, window)),
+                  x, y, alive)
+    conf, x, y, alive, D = (np.asarray(a) for a in (conf, x, y, alive, D))
+
+    frame_dets = []
+    for t in range(n_frames):
+        k = alive[t]
+        frame_dets.append({'conf': conf[t][k].astype(np.float32),
+                           'x': x[t][k].astype(np.int32),
+                           'y': y[t][k].astype(np.int32)})
+    astar_dists = {}
+    for s in range(n_frames):
+        for g in (1, 2):
+            t = s + g
+            if t < n_frames:
+                astar_dists[(t, g)] = D[s, g - 1][alive[s]][:, alive[t]]
+    return frame_dets, astar_dists, np.asarray(ok)

@@ -146,11 +146,13 @@ def gather_batch(dataset, indices):
     t_idx, tile_idx = np.divmod(indices, dataset.X_tiled.shape[1])
     t_all = np.asarray(dataset.timepoints_indices)[t_idx]
     ctx = t_all[:, None] + np.arange(-tc, tc + 1)[None, :]       # [B, Cf]
-    X = dataset.X_tiled[ctx, tile_idx[:, None]]   # [B, Cf(, C_col), ts, ts]
+    # X_tiled/target_tiled are device-resident jax arrays: gather on device,
+    # pull only the batch to host
+    X = np.asarray(dataset.X_tiled[ctx, tile_idx[:, None]])
     if X.ndim == 5:        # motion modes: frame-major channel order
         X = X.reshape(X.shape[0], -1, *X.shape[-2:])
     X = np.moveaxis(X, 1, -1)
-    target = dataset.target_tiled[t_all, tile_idx]
+    target = np.asarray(dataset.target_tiled[t_all, tile_idx])
     return X, target
 
 

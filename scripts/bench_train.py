@@ -50,11 +50,14 @@ def main():
     target[..., 0] = pos
     target[..., 1:] = rng.random((T + 2 * tc, K, P['SX'], P['SY'], 2))
 
+    # device-resident, as Timelapse.construct_tiles now produces them: the
+    # movie ships once, epochs run without host round-trips
     ds = types.SimpleNamespace(
-        X_tiled=X_tiled, target_tiled=target,
+        X_tiled=jnp.asarray(X_tiled), target_tiled=jnp.asarray(target),
         timepoints_indices=np.arange(tc, tc + T),
         temporal_context=tc, name='bench')
     ds.__len__ = lambda: T * K
+    jax.block_until_ready(ds.X_tiled)
 
     state = engine.setup_model(P)
     state._steps = engine.make_train_step(state.model, state.tx, P)
