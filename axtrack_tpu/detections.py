@@ -511,9 +511,13 @@ class AxonDetections:
             ys = np.concatenate([dets[s]['y'] for s in group])
             xs = np.concatenate([dets[s]['x'] for s in group])
             srcs = jnp.stack([jnp.asarray(ys), jnp.asarray(xs)], -1)
-            # converge=True: exact distances on ANY mask geometry (probes
-            # + doubles sweeps until fixpoint; see geodesic_pallas)
-            dmaps, origins = G.batched_windows(padded, srcs, window, 8,
+            # converge=True: exact distances on ANY mask geometry — the
+            # local-consistency certificate verifies the maps and doubles
+            # the sweep budget only when needed (geodesic_pallas). Initial
+            # budget 2 is tuned for the microchannel-mask domain, where 1-2
+            # sweeps converge; the certificate costs ~a pointwise pass, so
+            # serpentine masks just pay doubling retries.
+            dmaps, origins = G.batched_windows(padded, srcs, window, 2,
                                                converge=True)
             off = 0
             for s in group:

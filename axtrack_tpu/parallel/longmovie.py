@@ -130,9 +130,9 @@ def build_sharded_detector(mesh, model, variables, params, n_frames,
 
 def build_sharded_assoc(mesh, n_frames, window=512, max_dets=64,
                         max_gap=2, max_dist=500.0, max_sweeps=8,
-                        interpret=False):
+                        interpret=False, backend=None):
     """Jitted association-distance stage with SOURCE FRAMES sharded over
-    'data': each chip runs the Pallas chamfer for the detections in its
+    'data': each chip runs the chamfer wavefront for the detections in its
     frame block and gathers lookback-pair distance matrices.
 
     Returns fn(mask_padded [Hp, Wp] bool, x, y, alive [n_frames, max_dets])
@@ -143,10 +143,18 @@ def build_sharded_assoc(mesh, n_frames, window=512, max_dets=64,
 
     Detections are tiny, so they arrive replicated; only the chamfer work
     (the expensive part) is sharded.
+
+    backend: 'pallas' (TPU Mosaic kernel), 'lax' (pure-XLA sweeps — the
+    right choice on CPU meshes, where interpret-mode Pallas inside
+    shard_map is orders of magnitude slower than compiled lax), or None to
+    pick by jax.default_backend(). Both paths return the same
+    local-consistency exactness certificate.
     """
-    from ..ops.geodesic import _gather_targets
+    from ..ops.geodesic import _gather_targets, _batched_windows
     from ..ops import geodesic_pallas as GP
 
+    if backend is None:
+        backend = 'pallas' if jax.default_backend() == 'tpu' else 'lax'
     n_dev = mesh.shape['data']
     assert n_frames % n_dev == 0, (n_frames, n_dev)
     T_loc = n_frames // n_dev
@@ -160,9 +168,16 @@ def build_sharded_assoc(mesh, n_frames, window=512, max_dets=64,
         y_loc = jax.lax.dynamic_slice_in_dim(yy, s0, T_loc, 0).reshape(-1)
         x_loc = jax.lax.dynamic_slice_in_dim(xx, s0, T_loc, 0).reshape(-1)
         srcs = jnp.stack([y_loc, x_loc], -1)            # [T_loc*D, 2]
-        dmaps, origins, ok = GP.batched_windows_probed(
-            mask_padded, srcs, window, max_sweeps=max_sweeps,
-            interpret=interpret)
+        if backend == 'pallas':
+            dmaps, origins, ok = GP.batched_windows_probed(
+                mask_padded, srcs, window, max_sweeps=max_sweeps,
+                interpret=interpret)
+        else:
+            dmaps, origins = _batched_windows(mask_padded, srcs, window,
+                                              max_sweeps)
+            N, Np, orgs, local = GP._pad_srcs(mask_padded, srcs, window)
+            crops = GP._crops_for(mask_padded, orgs, local, window, Np)
+            ok = GP._locally_consistent(dmaps, crops[:N])
 
         def per_src_frame(s_loc):
             sl = s_loc * max_dets
@@ -204,7 +219,7 @@ def pad_mask_for_windows(mask, window):
 
 def long_movie_pipeline(mesh, model, variables, params, frames_u16, mask,
                         max_dets=64, window=512, max_sweeps=8,
-                        var_scalar=None, interpret=False):
+                        var_scalar=None, interpret=False, backend=None):
     """End-to-end sharded detect + associate for one long movie.
 
     frames_u16: uint16 [T_total, H, W] INCLUDING tc leading/trailing
@@ -228,7 +243,7 @@ def long_movie_pipeline(mesh, model, variables, params, frames_u16, mask,
                                     var_scalar=var_scalar)
     assoc = build_sharded_assoc(mesh, n_frames, window=window,
                                 max_dets=max_dets, max_sweeps=max_sweeps,
-                                interpret=interpret)
+                                interpret=interpret, backend=backend)
 
     centers = jnp.asarray(frames_u16[tc:tc + n_frames])
     lead = jnp.asarray(frames_u16[:tc])

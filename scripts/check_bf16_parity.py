@@ -1,0 +1,72 @@
+"""bf16-vs-f32 detection parity on the TRAINED deployed model.
+
+The bench's CNN could run in bfloat16 (~15% e2e win on v5e), but round-2
+testing on RANDOM weights showed near-threshold confidence flips. This
+script answers the question properly: with the trained deployed bundle on
+the bundled example movie, do f32 and bf16 compute produce the same
+detections? Prints a JSON verdict; the bench flips its default only if
+mismatch <= 1% (the BASELINE.json criterion).
+"""
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import json
+
+import numpy as np
+
+
+def detections_for(dtype_name):
+    import jax.numpy as jnp
+    import axtrack_tpu as axtrack
+    from axtrack_tpu.models.yolo import build_model
+    from axtrack_tpu.detections import AxonDetections
+
+    inference_data_dir = f'{axtrack.PKG_DIR}/examples/'
+    parameters, model, stnd_scaler = axtrack.setup_inference(None)
+    module, variables = model
+    if dtype_name == 'bf16':
+        module = build_model(parameters, dtype=jnp.bfloat16)
+
+    timelapse = axtrack.prepare_input_data(
+        'example_timelapse.tif', parameters, None, inference_data_dir,
+        stnd_scaler, mask_fname='example_timelapse_mask.npy',
+        use_cached_datasets=None, check_preproc=False,
+        input_metadata={'dt': 31, 'pixelsize': .62, 'incubation_time': 52,
+                        'name': f'parity_{dtype_name}'})
+    ax = AxonDetections((module, variables), timelapse, parameters,
+                        directory=None)
+    ax.detect_dataset()
+    pts = set()
+    for t in range(len(ax)):
+        df = ax.get_frame_dets('confident', t)
+        for x, y in zip(np.asarray(df['anchor_x']),
+                        np.asarray(df['anchor_y'])):
+            pts.add((t, int(x), int(y)))
+    return pts
+
+
+def main():
+    sets = {n: detections_for(n) for n in ('f32', 'bf16')}
+    union = len(sets['f32'] | sets['bf16'])
+    inter = len(sets['f32'] & sets['bf16'])
+
+    def near(a, B):
+        return any(b[0] == a[0] and abs(a[1] - b[1]) <= 1
+                   and abs(a[2] - b[2]) <= 1 for b in B)
+
+    only_f32 = [p for p in sets['f32'] - sets['bf16']
+                if not near(p, sets['bf16'])]
+    only_bf16 = [p for p in sets['bf16'] - sets['f32']
+                 if not near(p, sets['f32'])]
+    mismatch = (len(only_f32) + len(only_bf16)) / max(union, 1)
+    print(json.dumps({
+        'n_dets_f32': len(sets['f32']), 'n_dets_bf16': len(sets['bf16']),
+        'exact_jaccard': round(inter / max(union, 1), 4),
+        'mismatch_after_1px': round(mismatch, 4),
+        'parity_ok': bool(mismatch <= 0.01),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -69,7 +69,7 @@ def run(setup, n_data, var_scalar=1.0):
                      devices=jax.devices()[:n_data])
     return longmovie.long_movie_pipeline(
         mesh, model, variables, P, frames_u16, mask, max_dets=MAXD,
-        window=64, max_sweeps=8, var_scalar=var_scalar, interpret=True)
+        window=64, max_sweeps=8, var_scalar=var_scalar)
 
 
 class TestLongMovieSharding:
