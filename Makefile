@@ -1,11 +1,17 @@
 # axtrack_tpu developer entry points
-.PHONY: test bench example deploy-model dryrun native clean
+.PHONY: test bench bench-train bench-nms example deploy-model dryrun native clean
 
 test:
 	python -m pytest tests/ -q
 
 bench:
 	python bench.py
+
+bench-train:
+	python scripts/bench_train.py
+
+bench-nms:
+	python scripts/bench_nms.py
 
 example:
 	python examples/run_example.py
