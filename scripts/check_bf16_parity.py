@@ -22,14 +22,16 @@ def detections_for(dtype_name):
     from axtrack_tpu.models.yolo import build_model
     from axtrack_tpu.detections import AxonDetections
 
+    import tempfile
     inference_data_dir = f'{axtrack.PKG_DIR}/examples/'
-    parameters, model, stnd_scaler = axtrack.setup_inference(None)
+    dest_dir = tempfile.mkdtemp(prefix=f'bf16_parity_{dtype_name}_')
+    parameters, model, stnd_scaler = axtrack.setup_inference(dest_dir)
     module, variables = model
     if dtype_name == 'bf16':
         module = build_model(parameters, dtype=jnp.bfloat16)
 
     timelapse = axtrack.prepare_input_data(
-        'example_timelapse.tif', parameters, None, inference_data_dir,
+        'example_timelapse.tif', parameters, dest_dir, inference_data_dir,
         stnd_scaler, mask_fname='example_timelapse_mask.npy',
         use_cached_datasets=None, check_preproc=False,
         input_metadata={'dt': 31, 'pixelsize': .62, 'incubation_time': 52,
