@@ -302,9 +302,12 @@ def one_epoch(dataset, state, params, epoch, train=True, min_pos_rate=.65,
 
     if not hasattr(state, '_steps'):
         state._steps = make_train_step(state.model, state.tx, params)
-    # device-resident fast path: ship the epoch's tiles once and scan the
-    # batches on-device when they fit comfortably in HBM
-    if (device_resident and dataset.X_tiled.nbytes < 2 * 1024 ** 3):
+    # device-resident fast path: construct_tiles produced device-resident
+    # tiles (movies within the device budget — the common case), so the
+    # epoch scans batches on-device with no host round-trips. Movies beyond
+    # the budget come back as host numpy (chunked big path) and stream.
+    if (device_resident and isinstance(dataset.X_tiled, jax.Array)
+            and dataset.X_tiled.nbytes < 6 * 1024 ** 3):
         indices = np.arange(len(dataset))
         if params['SHUFFLE']:
             np.random.shuffle(indices)

@@ -72,6 +72,30 @@ class TestTimelapse:
                            int(y % ts / ts * 12), int(x % ts / ts * 12)))
             assert n == len(cells), (row, n, cells)
 
+    def test_big_movie_chunked_path_matches_device_path(self, dataset):
+        """Movies beyond the device budget stream through the device in
+        frame chunks with host-resident X_tiled; the result must equal the
+        whole-movie device path bit for bit."""
+        import jax
+        dataset.construct_tiles(force_no_transformation=True)
+        dev_tiles = np.asarray(dataset.X_tiled)
+        dev_targets = np.asarray(dataset.target_tiled)
+        dev_idx = np.asarray(dataset._tile_flat_idx)
+        assert isinstance(dataset.X_tiled, jax.Array)
+        old = dataset._DEVICE_MOVIE_BUDGET
+        try:
+            dataset._DEVICE_MOVIE_BUDGET = 1  # force the chunked path
+            dataset.construct_tiles(force_no_transformation=True)
+        finally:
+            dataset._DEVICE_MOVIE_BUDGET = old
+        assert isinstance(dataset.X_tiled, np.ndarray)   # host-resident
+        np.testing.assert_array_equal(dev_idx,
+                                      np.asarray(dataset._tile_flat_idx))
+        np.testing.assert_array_equal(dev_tiles, dataset.X_tiled)
+        np.testing.assert_array_equal(dev_targets,
+                                      np.asarray(dataset.target_tiled))
+        dataset.construct_tiles(force_no_transformation=True)  # restore
+
     def test_getitem_stacks_context(self, dataset):
         X, tgt = dataset[0]
         assert X.shape == (256, 256, 5)
