@@ -162,6 +162,17 @@ def build_tpu_stages(frames, mask, P, model, variables, n_frames):
     stage_assoc_retry = {2 ** i: jax.jit(partial(_assoc, sweeps=2 ** i))
                          for i in (2, 4, 6)}
 
+    # experimental single-program variant (BENCH_FUSE=1): round 1 measured
+    # an ~80x XLA scheduling pathology when the Pallas chamfer shared a jit
+    # with the CNN stages; keep the measurement handle around
+    stage_all = None
+    if os.environ.get('BENCH_FUSE') == '1':
+        @jax.jit
+        def stage_all(fr_u16, m, flat_idx, tile_yx):
+            conf, xs, ys, alive = stage_det.__wrapped__(fr_u16, m, flat_idx,
+                                                        tile_yx)
+            return _assoc(m, conf, ys, xs, alive, sweeps=max_sweeps)
+
     # place inputs on device once, untimed: input staging is host IO, not
     # pipeline throughput (and the TPU-tunnel transfer rate here is an
     # environment artifact; real hosts DMA at 10s of GB/s)
@@ -174,6 +185,7 @@ def build_tpu_stages(frames, mask, P, model, variables, n_frames):
         f'{frames_u16.nbytes / 1e6:.0f}MB')
     return dict(stage_det=stage_det,
                 stage_assoc=stage_assoc, stage_assoc_retry=stage_assoc_retry,
+                stage_all=stage_all,
                 args=(fr_d, m_d, flat_d, tyx_d),
                 pairs=pairs, n_frames=n_frames, maxd=MAXD)
 
@@ -187,14 +199,25 @@ def tpu_pipeline(S, P):
     fr_d, m_d, flat_d, tyx_d = S['args']
     from axtrack_tpu.track import tracker
 
-    # three jitted stages; intermediates (tiles, distance maps) stay on the
-    # device. NOTE: fusing all three into one jit was ~80x slower (XLA
-    # scheduling pathology around the Pallas grid); staged programs with
-    # device-resident handoff hit the roofline.
+    # two jitted stages; intermediates (tiles, distance maps) stay on the
+    # device. Single-program fusion (BENCH_FUSE=1) was re-measured round 2:
+    # the round-1 ~80x scheduling pathology is gone, but it is still
+    # slightly SLOWER than staged (38.2 vs 42.4 fps) with a 6-minute
+    # compile — async dispatch already overlaps the second stage's RPC
+    # with the first stage's compute, so staged stays the default.
     t0 = time.perf_counter()
-    conf_d, xs_d, ys_d, alive_d = S['stage_det'](fr_d, m_d, flat_d, tyx_d)
-    packed = np.asarray(S['stage_assoc'](m_d, conf_d, ys_d, xs_d, alive_d))
+    if S['stage_all'] is not None:
+        packed = np.asarray(S['stage_all'](fr_d, m_d, flat_d, tyx_d))
+        conf_d = xs_d = ys_d = alive_d = None
+    else:
+        conf_d, xs_d, ys_d, alive_d = S['stage_det'](fr_d, m_d, flat_d,
+                                                     tyx_d)
+        packed = np.asarray(S['stage_assoc'](m_d, conf_d, ys_d, xs_d,
+                                             alive_d))
     if packed[-1] == 0.0:  # convergence probe failed: rare general-mask path
+        if conf_d is None:   # fused mode: recover staged intermediates
+            conf_d, xs_d, ys_d, alive_d = S['stage_det'](fr_d, m_d, flat_d,
+                                                         tyx_d)
         for sweeps, fn in sorted(S['stage_assoc_retry'].items()):
             log(f'chamfer probe unconverged; retrying at {sweeps} sweeps')
             packed = np.asarray(fn(m_d, conf_d, ys_d, xs_d, alive_d))
@@ -335,8 +358,14 @@ def main():
     S = build_tpu_stages(frames, mask, P, model, variables, n_frames)
     log('pass 1 (compile)...')
     elapsed, stages, n_tracks = tpu_pipeline(S, P)
-    log(f'pass 1 done in {elapsed:.1f}s; pass 2 (measure)...')
-    elapsed, stages, n_tracks = tpu_pipeline(S, P)
+    log(f'pass 1 done in {elapsed:.1f}s; measuring (best of 3)...')
+    best = (np.inf, None, None)
+    for _ in range(3):   # min resists transient host/tunnel contention,
+        #                  like the CPU baseline's min-of-3
+        r = tpu_pipeline(S, P)
+        if r[0] < best[0]:
+            best = r
+    elapsed, stages, n_tracks = best
     fps = n_frames / elapsed
 
     # CPU reference baseline
