@@ -308,6 +308,11 @@ class Timelapse:
         from .augment import (draw_transform_config,
                               config_to_transform_params, transform_frames,
                               transform_anchors)
+        wants_clean = force_no_transformation or not self.transform_configs
+        if (wants_clean and self.X_tiled is not None
+                and getattr(self, '_tiles_clean', False)):
+            return           # untransformed tiles already built — reuse
+        self._tiles_clean = wants_clean
         target = self.target
         self.last_transform_configs = None
         dy = dx = 0

@@ -73,6 +73,35 @@ def _post_program(tilesize, max_dets):
     return _PROGRAMS[key]
 
 
+def _packed_gather_program(window, Dmax, n_pairs):
+    """jit of all lookback-pair distance gathers of one chamfer group.
+
+    One program + ONE fetch replaces a jitted gather call (and its ~50ms
+    tunnel round-trip) per (source-frame, gap) pair. Keyed on bucketed
+    shapes: Dmax = padded per-frame detection capacity, n_pairs = padded
+    pair count.
+    """
+    from .ops.geodesic import _gather_targets
+    key = ('pgather', window, Dmax, n_pairs)
+    if key not in _PROGRAMS:
+        @jax.jit
+        def run(dmaps, origins, src_off, tgts, cap):
+            # pad so any [off, off+Dmax) row slice is in range (offsets are
+            # exact per-frame starts in the packed source array)
+            dm = jnp.pad(dmaps, ((0, Dmax), (0, 0), (0, 0)),
+                         constant_values=np.float32(1e9))
+            org = jnp.pad(origins, ((0, Dmax), (0, 0)))
+
+            def per_pair(off, tg):
+                d = jax.lax.dynamic_slice_in_dim(dm, off, Dmax, 0)
+                o = jax.lax.dynamic_slice_in_dim(org, off, Dmax, 0)
+                return _gather_targets(d, o, tg, cap, window)
+
+            return jax.vmap(per_pair)(src_off, tgts)
+        _PROGRAMS[key] = run
+    return _PROGRAMS[key]
+
+
 def _chunk_program(model, tilesize, tc, batch_frames, max_dets):
     """Fused whole-chunk program: CNN batches + decode + NMS per frame."""
     key = (('chunk', tilesize, tc, batch_frames, max_dets)
@@ -109,7 +138,10 @@ def _chunk_program(model, tilesize, tc, batch_frames, max_dets):
                 alive = distance_nms(dets['conf'], dets['x'],
                                      dets['y'], dets['valid'], nms_dist)
                 outs.append((dets['conf'], dets['x'], dets['y'], alive))
-        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+        conf, x, y, alive = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+        # ONE packed f32 output => the host fetch is a single transfer
+        # (four separate fetches cost a tunnel round-trip each)
+        return jnp.stack([conf, x, y, alive.astype(jnp.float32)])
 
     _PROGRAMS[key] = chunk_step
     return chunk_step
@@ -269,14 +301,18 @@ class AxonDetections:
             tiles_chunk = jnp.asarray(ds.X_tiled[lo:hi])
             centers = jnp.asarray([t - lo for t in t_all], jnp.int32)
             print(f'frames {chunk[0]}..{chunk[-1]}', end='...', flush=True)
-            conf, x, y, alive = jax.tree.map(
-                np.asarray, chunk_step(variables, tiles_chunk, centers,
-                                       tile_yx, conf_thr, self.nms_min_dist,
-                                       n_centers=len(t_all)))
+            packed = np.asarray(
+                chunk_step(variables, tiles_chunk, centers, tile_yx,
+                           conf_thr, self.nms_min_dist,
+                           n_centers=len(t_all)))          # one fetch
+            conf, x, y = packed[0], packed[1], packed[2]
+            alive = packed[3] > 0.5
+            # one batched device gather + one fetch for all chunk targets
+            # (a per-frame np.asarray costs a round-trip each)
+            targets = np.asarray(
+                jnp.asarray(ds.target_tiled)[jnp.asarray(t_all)])
             for i, t in enumerate(chunk):
-                yolo_target = ds.target_tiled[ds.timepoints_indices[t]]
-                out.append((conf[i], x[i], y[i], alive[i],
-                            np.asarray(yolo_target)))
+                out.append((conf[i], x[i], y[i], alive[i], targets[i]))
         return out
 
     def from_cache(self, which):
@@ -507,6 +543,11 @@ class AxonDetections:
         group, group_n = [], 0
         src_frames = [s for s in range(len(self) - 1) if counts[s] > 0]
 
+        BAD = np.int32(-10 ** 6)
+        Dmax = 8
+        while Dmax < max(counts, default=1):
+            Dmax *= 2
+
         def flush(group):
             ys = np.concatenate([dets[s]['y'] for s in group])
             xs = np.concatenate([dets[s]['x'] for s in group])
@@ -519,10 +560,10 @@ class AxonDetections:
             # serpentine masks just pay doubling retries.
             dmaps, origins = G.batched_windows(padded, srcs, window, 2,
                                                converge=True)
+            # all pair gathers of this group: one program, one fetch
+            pair_meta, offs, tgts = [], [], []
             off = 0
             for s in group:
-                sl = slice(off, off + counts[s])
-                off += counts[s]
                 for gap in range(1, max_gap + 1):
                     t = s + gap
                     if t >= len(self):
@@ -531,13 +572,30 @@ class AxonDetections:
                         astar_dists[(t, gap)] = np.zeros(
                             (counts[s], 0), np.float32)
                         continue
-                    tgts = jnp.stack(
-                        [jnp.asarray(dets[t]['y']),
-                         jnp.asarray(dets[t]['x'])], -1)
-                    D = G.gather_targets(
-                        dmaps[sl], origins[sl], tgts,
-                        jnp.float32(self.max_px_assoc_dist), window)
-                    astar_dists[(t, gap)] = np.asarray(D)
+                    pair_meta.append((s, gap, t))
+                    offs.append(off)
+                    ty = np.full(Dmax, BAD, np.int32)
+                    tx = np.full(Dmax, BAD, np.int32)
+                    ty[:counts[t]] = dets[t]['y']
+                    tx[:counts[t]] = dets[t]['x']
+                    tgts.append(np.stack([ty, tx], -1))
+                off += counts[s]
+            if not pair_meta:
+                return
+            P_b = 2
+            while P_b < len(pair_meta):
+                P_b *= 2
+            n_pad = P_b - len(pair_meta)
+            offs = np.asarray(offs + [0] * n_pad, np.int32)
+            tgts = np.concatenate(
+                [np.stack(tgts),
+                 np.full((n_pad, Dmax, 2), BAD, np.int32)], axis=0)
+            run = _packed_gather_program(window, Dmax, P_b)
+            D = np.asarray(run(dmaps, origins, jnp.asarray(offs),
+                               jnp.asarray(tgts),
+                               jnp.float32(self.max_px_assoc_dist)))
+            for i, (s, gap, t) in enumerate(pair_meta):
+                astar_dists[(t, gap)] = D[i][:counts[s], :counts[t]]
 
         for s in src_frames:
             if group and group_n + counts[s] > MAX_SRC:

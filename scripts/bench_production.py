@@ -1,0 +1,106 @@
+"""Production-API throughput: the same reference-scale workload as bench.py
+but driven through the PUBLIC surface (Timelapse -> AxonDetections
+.detect_dataset / .assign_ids) instead of bench.py's hand-built stage
+programs. This is what a user migrating from the reference actually calls;
+the gap between this number and bench.py's is the production-path overhead
+(host orchestration, chunking, caching hooks).
+"""
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), '.jax_cache')
+    try:
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
+
+    from axtrack_tpu.params import get_default_parameters
+    from axtrack_tpu.data.synthetic import write_fixture
+    from axtrack_tpu.data.timelapse import Timelapse
+    from axtrack_tpu.models.yolo import build_model, init_variables
+    from axtrack_tpu.detections import AxonDetections
+
+    n_frames = int(os.environ.get('BENCH_FRAMES', 8))
+    fxdir = os.path.join(cache_dir, f'prod_fixture_{n_frames}')
+    marker = os.path.join(fxdir, 'movie.tif')
+    if not os.path.exists(marker):
+        os.makedirs(fxdir, exist_ok=True)
+        print('# writing full-size fixture (one-time)...', file=sys.stderr)
+        write_fixture(fxdir, name='movie', T=n_frames + 4, H=2920, W=6364,
+                      n_axons=40, seed=0, n_channels=8)
+
+    # prefer the TRAINED deployed bundle (realistic detection density — a
+    # random-weight net saturates the 1024-det production cap with noise
+    # and measures a workload the pipeline never sees); fall back to random
+    # weights if the bundle hasn't been built (make deploy-model)
+    from axtrack_tpu.config import DEPLOYED_MODEL_DIR
+    scaler = ('zscore', None)
+    if os.path.exists(os.path.join(DEPLOYED_MODEL_DIR, 'params.json')):
+        import axtrack_tpu as axtrack
+        import tempfile
+        P, (model, variables), scaler = axtrack.setup_inference(
+            tempfile.mkdtemp(prefix='prod_bench_'))
+        print('# using trained deployed bundle', file=sys.stderr)
+    else:
+        P = get_default_parameters()
+        model = build_model(P)
+        variables = init_variables(model, P, seed=0)
+        print('# deployed bundle absent: random weights', file=sys.stderr)
+    P['MCF_MIN_FLOW'] = 1
+    P['MCF_MAX_FLOW'] = 200
+
+    tl = Timelapse(
+        imseq_path=os.path.join(fxdir, 'movie.tif'),
+        labels_csv=None,
+        mask_path=os.path.join(fxdir, 'movie_mask.npy'),
+        timepoints=None, offset=None, log_correct=True,
+        standardize_framewise=False, standardize=scaler,
+        name='prod_bench', use_transforms=[], contrast_llim=55,
+        plot=False, pad=None, Sy=P['SY'], Sx=P['SX'],
+        tilesize=P['TILESIZE'], cache=None, from_cache=None,
+        temporal_context=P['TEMPORAL_CONTEXT'])
+
+    def run_once():
+        ax = AxonDetections((model, variables), tl, P, directory=None)
+        t0 = time.perf_counter()
+        ax.detect_dataset()
+        t_detect = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ax.assign_ids()
+        t_assign = time.perf_counter() - t0
+        ntracks = (len(ax.IDed_dets_all)
+                   if ax.IDed_dets_all is not None else 0)
+        return t_detect, t_assign, ntracks
+
+    print('# pass 1 (compile)...', file=sys.stderr)
+    run_once()
+    best = (np.inf, np.inf, 0)
+    for _ in range(2):
+        r = run_once()
+        if r[0] + r[1] < best[0] + best[1]:
+            best = r
+    t_detect, t_assign, ntracks = best
+    fps = len(tl.timepoints) / (t_detect + t_assign)
+    print(json.dumps({
+        'metric': 'production_api_frames_per_sec',
+        'value': round(fps, 2),
+        'detect_s': round(t_detect, 3),
+        'assign_s': round(t_assign, 3),
+        'n_frames': len(tl.timepoints),
+        'n_tracks': ntracks,
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -85,6 +85,7 @@ class TestTimelapse:
         old = dataset._DEVICE_MOVIE_BUDGET
         try:
             dataset._DEVICE_MOVIE_BUDGET = 1  # force the chunked path
+            dataset._tiles_clean = False      # defeat the clean-reuse skip
             dataset.construct_tiles(force_no_transformation=True)
         finally:
             dataset._DEVICE_MOVIE_BUDGET = old
@@ -94,6 +95,7 @@ class TestTimelapse:
         np.testing.assert_array_equal(dev_tiles, dataset.X_tiled)
         np.testing.assert_array_equal(dev_targets,
                                       np.asarray(dataset.target_tiled))
+        dataset._tiles_clean = False
         dataset.construct_tiles(force_no_transformation=True)  # restore
 
     def test_getitem_stacks_context(self, dataset):
