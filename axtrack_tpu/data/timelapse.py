@@ -254,7 +254,8 @@ class Timelapse:
         return timepoints_indices, len(tps), target, frames
 
     # ------------------------------------------------------------ caching
-    _CACHE_SKIP = ('_rng', '_X_dev', '_pmotion_dev', '_nmotion_dev')
+    _CACHE_SKIP = ('_rng', '_X_dev', '_pmotion_dev', '_nmotion_dev',
+                   '_padded_mask_dev')
 
     def _save_cache(self, cache):
         with open(f'{cache}/{self.name}_dataset_cached.pkl', 'wb') as file:

@@ -510,8 +510,7 @@ class AxonDetections:
 
         print('\nComputing geodesic detection distances...', flush=True)
         dets = self._frame_det_arrays()
-        mask = jnp.asarray(np.asarray(self.dataset.mask, bool))
-        H, W = mask.shape
+        H, W = self.dataset.mask.shape[-2:]
         # effective association radius: transition edges with cost >
         # MCF_EDGE_COST_THR are pruned by the tracker, so distances beyond
         # d_eff = max_px * (1 - e^-thr) never affect the solution
@@ -526,8 +525,15 @@ class AxonDetections:
             d_eff = self.max_px_assoc_dist
         window = int(min(1024, G._round_up(2 * int(d_eff) + 1, 128)))
         window = min(window, max(G._round_up(max(H, W), 8), 8))
-        pad_h, pad_w = max(window - H, 0), max(window - W, 0)
-        padded = jnp.pad(mask, ((0, pad_h), (0, pad_w)))
+        # padded mask cached on the dataset: shipping the full-frame bool
+        # mask through the tunnel on every assign_ids call cost ~0.2s
+        cached = getattr(self.dataset, '_padded_mask_dev', None)
+        if cached is None or cached[0] != window:
+            mask = jnp.asarray(np.asarray(self.dataset.mask, bool))
+            pad_h, pad_w = max(window - H, 0), max(window - W, 0)
+            padded = jnp.pad(mask, ((0, pad_h), (0, pad_w)))
+            self.dataset._padded_mask_dev = cached = (window, padded)
+        padded = cached[1]
 
         # every detection across the whole movie becomes a wavefront source
         # in ONE batched launch; each lookback pair gathers from its source
@@ -555,10 +561,11 @@ class AxonDetections:
             # converge=True: exact distances on ANY mask geometry — the
             # local-consistency certificate verifies the maps and doubles
             # the sweep budget only when needed (geodesic_pallas). Initial
-            # budget 2 is tuned for the microchannel-mask domain, where 1-2
-            # sweeps converge; the certificate costs ~a pointwise pass, so
-            # serpentine masks just pay doubling retries.
-            dmaps, origins = G.batched_windows(padded, srcs, window, 2,
+            # budget 1 is tuned for the microchannel-mask domain, where one
+            # down+up sweep converges (verified vs the C++ oracle); the
+            # certificate costs ~a pointwise pass, so exotic masks just pay
+            # doubling retries.
+            dmaps, origins = G.batched_windows(padded, srcs, window, 1,
                                                converge=True)
             # all pair gathers of this group: one program, one fetch
             pair_meta, offs, tgts = [], [], []
