@@ -85,7 +85,7 @@ def _packed_gather_program(window, Dmax, n_pairs):
     key = ('pgather', window, Dmax, n_pairs)
     if key not in _PROGRAMS:
         @jax.jit
-        def run(dmaps, origins, src_off, tgts, cap):
+        def run(dmaps, origins, src_off, tgts, cap, ok):
             # pad so any [off, off+Dmax) row slice is in range (offsets are
             # exact per-frame starts in the packed source array)
             dm = jnp.pad(dmaps, ((0, Dmax), (0, 0), (0, 0)),
@@ -97,7 +97,11 @@ def _packed_gather_program(window, Dmax, n_pairs):
                 o = jax.lax.dynamic_slice_in_dim(org, off, Dmax, 0)
                 return _gather_targets(d, o, tg, cap, window)
 
-            return jax.vmap(per_pair)(src_off, tgts)
+            D = jax.vmap(per_pair)(src_off, tgts)
+            # the exactness-certificate flag rides the same fetch: a
+            # separate bool() sync costs a tunnel round-trip
+            return jnp.concatenate([D.ravel(),
+                                    ok.astype(jnp.float32)[None]])
         _PROGRAMS[key] = run
     return _PROGRAMS[key]
 
@@ -558,15 +562,22 @@ class AxonDetections:
             ys = np.concatenate([dets[s]['y'] for s in group])
             xs = np.concatenate([dets[s]['x'] for s in group])
             srcs = jnp.stack([jnp.asarray(ys), jnp.asarray(xs)], -1)
-            # converge=True: exact distances on ANY mask geometry — the
-            # local-consistency certificate verifies the maps and doubles
-            # the sweep budget only when needed (geodesic_pallas). Initial
-            # budget 1 is tuned for the microchannel-mask domain, where one
-            # down+up sweep converges (verified vs the C++ oracle); the
-            # certificate costs ~a pointwise pass, so exotic masks just pay
-            # doubling retries.
-            dmaps, origins = G.batched_windows(padded, srcs, window, 1,
-                                               converge=True)
+            # exact distances on ANY mask geometry: the local-consistency
+            # certificate verifies the maps (geodesic_pallas) and the sweep
+            # budget doubles only when it fails. Initial budget 1 is tuned
+            # for the microchannel-mask domain, where one down+up sweep
+            # converges (verified vs the C++ oracle). On the Pallas path
+            # the certificate flag is DEFERRED: it rides the pair-gather
+            # fetch instead of costing its own device sync.
+            deferred = G.use_pallas_backend()
+            if deferred:
+                from .ops.geodesic_pallas import batched_windows_probed
+                dmaps, origins, okdev = batched_windows_probed(
+                    padded, srcs, window, max_sweeps=1)
+            else:
+                dmaps, origins = G.batched_windows(padded, srcs, window, 1,
+                                                   converge=True)
+                okdev = jnp.bool_(True)
             # all pair gathers of this group: one program, one fetch
             pair_meta, offs, tgts = [], [], []
             off = 0
@@ -588,19 +599,30 @@ class AxonDetections:
                     tgts.append(np.stack([ty, tx], -1))
                 off += counts[s]
             if not pair_meta:
-                return
+                return        # no pairs consume these maps
             P_b = 2
             while P_b < len(pair_meta):
                 P_b *= 2
             n_pad = P_b - len(pair_meta)
-            offs = np.asarray(offs + [0] * n_pad, np.int32)
-            tgts = np.concatenate(
+            offs_np = np.asarray(offs + [0] * n_pad, np.int32)
+            tgts_np = np.concatenate(
                 [np.stack(tgts),
                  np.full((n_pad, Dmax, 2), BAD, np.int32)], axis=0)
             run = _packed_gather_program(window, Dmax, P_b)
-            D = np.asarray(run(dmaps, origins, jnp.asarray(offs),
-                               jnp.asarray(tgts),
-                               jnp.float32(self.max_px_assoc_dist)))
+            out = np.asarray(run(dmaps, origins, jnp.asarray(offs_np),
+                                 jnp.asarray(tgts_np),
+                                 jnp.float32(self.max_px_assoc_dist),
+                                 okdev))
+            if out[-1] == 0.0:
+                # certificate failed (rare, exotic mask): redo with the
+                # doubling wrapper, which guarantees exactness
+                dmaps, origins = G.batched_windows(padded, srcs, window, 2,
+                                                   converge=True)
+                out = np.asarray(run(dmaps, origins, jnp.asarray(offs_np),
+                                     jnp.asarray(tgts_np),
+                                     jnp.float32(self.max_px_assoc_dist),
+                                     jnp.bool_(True)))
+            D = out[:-1].reshape(P_b, Dmax, Dmax)
             for i, (s, gap, t) in enumerate(pair_meta):
                 astar_dists[(t, gap)] = D[i][:counts[s], :counts[t]]
 

@@ -91,6 +91,14 @@ def _distance_map_from(passable, src_yx, max_sweeps=8):
     return d
 
 
+def use_pallas_backend():
+    """True when geodesic kernels should use the Pallas/Mosaic path
+    (TPU backend, overridable with AXTRACK_GEODESIC_BACKEND={pallas,lax})."""
+    backend = os.environ.get('AXTRACK_GEODESIC_BACKEND')
+    return (backend == 'pallas'
+            or (backend is None and jax.default_backend() == 'tpu'))
+
+
 def batched_windows(passable_padded, srcs_yx, window, max_sweeps=8,
                     converge=False):
     """Distance maps for N sources — dispatches to the Pallas kernel on TPU
@@ -103,10 +111,7 @@ def batched_windows(passable_padded, srcs_yx, window, max_sweeps=8,
     until fixpoint (geodesic_pallas.batched_windows_converged); the lax
     path raises the while_loop bound (it already early-exits at fixpoint,
     so extra headroom costs nothing when converged)."""
-    backend = os.environ.get('AXTRACK_GEODESIC_BACKEND')
-    use_pallas = (backend == 'pallas'
-                  or (backend is None and jax.default_backend() == 'tpu'))
-    if use_pallas:
+    if use_pallas_backend():
         from .geodesic_pallas import (batched_windows_pallas,
                                       batched_windows_converged)
         if converge:
