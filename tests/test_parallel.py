@@ -149,3 +149,20 @@ class TestMultiMovie:
         # movie axis sharded over 'data'
         assert 'data' in str(conf.sharding.spec) or \
             conf.sharding.is_fully_replicated is False
+
+
+class TestMultiHost:
+    def test_single_process_degenerate_form(self):
+        """Pod helpers in their single-process form: idempotent init, a
+        global mesh over all visible devices with TP within a host."""
+        import jax
+        from axtrack_tpu.parallel.multihost import (init_distributed,
+                                                    make_global_mesh)
+        n, i = init_distributed()
+        assert (n, i) == (1, 0)
+        n2, i2 = init_distributed()          # idempotent
+        assert (n2, i2) == (1, 0)
+        m = make_global_mesh(n_model=2)
+        assert set(m.shape) == {'data', 'model'}
+        assert m.shape['model'] == 2
+        assert m.shape['data'] * 2 <= len(jax.devices())
