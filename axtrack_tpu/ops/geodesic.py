@@ -106,11 +106,13 @@ def batched_windows(passable_padded, srcs_yx, window, max_sweeps=8,
     parity-tested against the C++ oracle. Override with
     AXTRACK_GEODESIC_BACKEND={pallas,lax}.
 
-    converge=True guarantees exactness regardless of mask geometry:
-    the Pallas path probes between launches and doubles the sweep budget
-    until fixpoint (geodesic_pallas.batched_windows_converged); the lax
-    path raises the while_loop bound (it already early-exits at fixpoint,
-    so extra headroom costs nothing when converged)."""
+    converge=True guarantees exactness regardless of mask geometry via the
+    local-consistency certificate (geodesic_pallas._locally_consistent:
+    the maps are upper bounds, so d <= min(4-neighbor d)+1 on passable
+    cells proves optimality). The Pallas path doubles its sweep budget
+    until certified; the lax path raises the while_loop bound (it already
+    early-exits at fixpoint) and then CHECKS the certificate, doubling the
+    bound on the rare geometry that needs more."""
     if use_pallas_backend():
         from .geodesic_pallas import (batched_windows_pallas,
                                       batched_windows_converged)
@@ -119,9 +121,25 @@ def batched_windows(passable_padded, srcs_yx, window, max_sweeps=8,
                                              window, max_sweeps=max_sweeps)
         return batched_windows_pallas(passable_padded, srcs_yx, window,
                                       max_sweeps=max_sweeps)
-    if converge:
-        max_sweeps = max(max_sweeps, 2 * window)
-    return _batched_windows(passable_padded, srcs_yx, window, max_sweeps)
+    if not converge:
+        return _batched_windows(passable_padded, srcs_yx, window,
+                                max_sweeps)
+    from .geodesic_pallas import (_pad_srcs, _crops_for,
+                                  _locally_consistent)
+    sweeps = max(max_sweeps, 2 * window)
+    while True:
+        dmaps, origins = _batched_windows(passable_padded, srcs_yx, window,
+                                          sweeps)
+        N, Np, orgs, local = _pad_srcs(passable_padded, srcs_yx, window)
+        crops = _crops_for(passable_padded, orgs, local, window, Np)
+        if bool(_locally_consistent(dmaps, crops[:N])):
+            return dmaps, origins
+        if sweeps >= 64 * window:
+            import warnings
+            warnings.warn(f'lax geodesic not certified exact after '
+                          f'{sweeps} sweeps')
+            return dmaps, origins
+        sweeps *= 2
 
 
 @partial(jax.jit, static_argnames=('window', 'max_sweeps'))
