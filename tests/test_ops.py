@@ -232,3 +232,41 @@ class TestTargets:
             jnp.asarray([False]), ny=1, nx=1, Sy=12, Sx=12, tilesize=512,
             n_frames=1))
         assert grid.sum() == 0
+
+
+class TestPackedGather:
+    def test_packed_equals_per_pair_gathers(self):
+        """detections._packed_gather_program (one vmapped program + one
+        fetch for all lookback pairs of a chamfer group) must equal the
+        straightforward per-pair _gather_targets calls, including target
+        padding sentinels and out-of-range slice rows."""
+        import jax.numpy as jnp
+        from axtrack_tpu.detections import _packed_gather_program
+        from axtrack_tpu.ops.geodesic import _gather_targets
+        rng = np.random.default_rng(0)
+        window, Dmax, N = 32, 8, 19      # N not a multiple of Dmax
+        dmaps = rng.integers(1, 60, (N, window, window)).astype(np.float32)
+        origins = rng.integers(0, 50, (N, 2)).astype(np.int32)
+        BAD = np.int32(-10 ** 6)
+        pairs = [(0, 5), (5, 8), (13, 6), (16, 3)]   # (offset, n_valid_src)
+        offs, tgts = [], []
+        for off, _ in pairs:
+            ty = rng.integers(0, 80, Dmax).astype(np.int32)
+            ty[Dmax - 2:] = BAD                      # padded targets
+            tx = rng.integers(0, 80, Dmax).astype(np.int32)
+            tgts.append(np.stack([ty, tx], -1))
+            offs.append(off)
+        P_b = 4
+        run = _packed_gather_program(window, Dmax, P_b)
+        out = np.asarray(run(jnp.asarray(dmaps), jnp.asarray(origins),
+                             jnp.asarray(np.asarray(offs, np.int32)),
+                             jnp.asarray(np.stack(tgts)),
+                             jnp.float32(100), jnp.bool_(True)))
+        assert out[-1] == 1.0
+        D = out[:-1].reshape(P_b, Dmax, Dmax)
+        for i, (off, n_src) in enumerate(pairs):
+            hi = min(off + Dmax, N)
+            want = np.asarray(_gather_targets(
+                jnp.asarray(dmaps[off:hi]), jnp.asarray(origins[off:hi]),
+                jnp.asarray(tgts[i]), jnp.float32(100), window))
+            np.testing.assert_array_equal(D[i][:hi - off], want)
