@@ -790,8 +790,10 @@ class AxonDetections:
                   for mr in miss_rate_values
                   for vsw in vis_sim_weight_values
                   for ccm in conf_capping_method_values]
+        eff = param_search.effective_n_jobs(n_jobs)
         print(f'MCF param search: {len(combos)} combos '
-              f'({"sequential" if n_jobs == 1 else "parallel"})', flush=True)
+              f'({"sequential" if eff == 1 else f"{eff} workers"})',
+              flush=True)
         results = param_search.search_grid(
             dets, self.astar_dists, self._mcf_params(), target,
             distth=self.nms_min_dist ** 2,

@@ -64,6 +64,16 @@ def _eval_combo(combo):
     return pd.concat([row, res])
 
 
+def effective_n_jobs(n_jobs=None):
+    """Worker count actually used: explicit value, AXTRACK_SEARCH_JOBS, or
+    min(cpu_count, 16). On a single-core host this is 1 — forking can only
+    add overhead when there is no parallel hardware."""
+    if n_jobs is not None:
+        return n_jobs
+    return int(os.environ.get('AXTRACK_SEARCH_JOBS',
+                              min(os.cpu_count() or 1, 16)))
+
+
 def search_grid(dets, astar_dists, mcf_params, target, distth,
                 axon_box_size, combos, vis_feats=None, n_jobs=None):
     """Evaluate every combo; returns the results DataFrame (combo columns
@@ -76,9 +86,7 @@ def search_grid(dets, astar_dists, mcf_params, target, distth,
     _CTX.update(dets=dets, astar_dists=astar_dists, mcf_params=mcf_params,
                 target=target, distth=distth, axon_box_size=axon_box_size,
                 vis_feats=vis_feats)
-    if n_jobs is None:
-        n_jobs = int(os.environ.get('AXTRACK_SEARCH_JOBS',
-                                    min(os.cpu_count() or 1, 16)))
+    n_jobs = effective_n_jobs(n_jobs)
     try:
         import multiprocessing as mp
         can_fork = 'fork' in mp.get_all_start_methods()

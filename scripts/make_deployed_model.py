@@ -38,6 +38,14 @@ def main():
     examples_dir = os.path.join(PKG_DIR, 'examples')
     deployed_dir = os.path.join(PKG_DIR, 'deployed_model')
     os.makedirs(deployed_dir, exist_ok=True)
+    # drop stale checkpoints: the loader takes the first E*/ alphabetically
+    # (reference sorted-glob-first semantics), so an old E0060 would shadow
+    # a freshly trained E0200
+    import shutil
+    for entry in os.listdir(deployed_dir):
+        if entry.startswith('E') and entry[1:].isdigit():
+            shutil.rmtree(os.path.join(deployed_dir, entry),
+                          ignore_errors=True)
 
     # 1) example inference movie (the "bundled example")
     write_fixture(examples_dir, name='example_timelapse',
