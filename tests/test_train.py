@@ -128,3 +128,24 @@ class TestEngine:
             Xi, ti = train[int(i)]
             np.testing.assert_array_equal(X[k], Xi)
             np.testing.assert_array_equal(tgt[k], ti)
+
+
+class TestStreamingPath:
+    def test_streaming_epoch_equals_device_epoch(self, P, data):
+        """The streaming fallback (movies beyond the device budget: host
+        X_tiled + per-batch gathers) must produce the same loss series as
+        the device-resident scan, starting from identical weights."""
+        train, _ = data
+        train.transform_configs = {}
+        P2 = dict(P, SHUFFLE=False)
+
+        def run(device_resident):
+            state = engine.setup_model(P2)
+            return [float(engine.one_epoch(
+                train, state, P2, epoch=e, train=True, min_pos_rate=0,
+                device_resident=device_resident)['total_summed_loss'])
+                for e in (1, 2)]
+
+        dev = run(True)
+        stream = run(False)
+        np.testing.assert_allclose(dev, stream, rtol=1e-5), (dev, stream)
