@@ -91,3 +91,22 @@ class TestLoss:
         assert np.isfinite(float(loss))
         assert grads.shape == pred.shape
         assert float(jnp.abs(grads).sum()) > 0
+
+
+class TestBackboneArchitectures:
+    """The reference supports pretrained torchvision feature stacks as the
+    conv backbone (model.py:55-83); here they are architecture strings
+    building equivalent flax stacks (yolo._backbone_spec). Random-init
+    (no torchvision weights offline); the torch->flax converter
+    (models/torch_convert.py) maps real weights when available."""
+
+    @pytest.mark.parametrize('name', ['mobilenet', 'alexnet', 'resnet'])
+    def test_backbone_builds_and_runs(self, small_params, name):
+        P = dict(small_params)
+        P['ARCHITECTURE'] = name
+        model = build_model(P)
+        variables = init_variables(model, P, seed=0)
+        x = jnp.zeros((2, P['TILESIZE'], P['TILESIZE'], 5))
+        grid = detect_axons(model, variables, x)
+        assert grid.shape == (2, 12, 12, 3)
+        assert np.isfinite(np.asarray(grid)).all()
