@@ -275,6 +275,10 @@ class Timelapse:
             cached = pickle.load(file)
         for n, v in cached.items():
             setattr(self, n, v)
+        # cached tiles were converted to host numpy for pickling; force the
+        # first construct_tiles to rebuild device-resident (the clean-reuse
+        # skip would otherwise pin the streaming path)
+        self._tiles_clean = False
         print('Done.\n', flush=True)
 
     # ----------------------------------------------------------- tiling
