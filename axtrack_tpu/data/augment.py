@@ -82,6 +82,48 @@ def transform_frames(X, dy=0, dx=0, flip_y=False, flip_x=False, angle=0.0):
     return jax.lax.cond(jnp.float32(angle) != 0.0, rotate, lambda x: x, X)
 
 
+def transform_frames_dynamic(X, dy, dx, flip_y, flip_x, angle):
+    """transform_frames with TRACED parameters — same math, same results,
+    but the augmentation draw is runtime data instead of compile-time
+    constants. Used inside the fused chunk-resident big-movie program
+    (train/bigmovie.py), where a per-epoch draw baked into the trace would
+    recompile the whole chunk pipeline every epoch.
+
+    Not separately jitted: callers trace it into their own program.
+    """
+    T, H, W = X.shape
+    dy = jnp.asarray(dy, jnp.int32)
+    dx = jnp.asarray(dx, jnp.int32)
+    X = jnp.roll(X, (dy, dx), axis=(1, 2))
+    ys = jnp.arange(H)
+    xs = jnp.arange(W)
+    yvalid = (ys - dy >= 0) & (ys - dy < H)
+    xvalid = (xs - dx >= 0) & (xs - dx < W)
+    X = jnp.where(yvalid[None, :, None] & xvalid[None, None, :], X, 0.0)
+    X = jnp.where(flip_y, jnp.flip(X, 1), X)
+    X = jnp.where(flip_x, jnp.flip(X, 2), X)
+
+    angle = jnp.asarray(angle, jnp.float32)
+
+    def rotate(X):
+        theta = angle * jnp.pi / 180.0
+        y_mid = (H + 1) / 2.0
+        x_mid = (W + 1) / 2.0
+        yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+        xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+        c, s = jnp.cos(-theta), jnp.sin(-theta)
+        x_src = (xx - x_mid) * c + (yy - y_mid) * s + x_mid
+        y_src = -(xx - x_mid) * s + (yy - y_mid) * c + y_mid
+        xi = jnp.round(x_src).astype(jnp.int32)
+        yi = jnp.round(y_src).astype(jnp.int32)
+        ok = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        xi = jnp.clip(xi, 0, W - 1)
+        yi = jnp.clip(yi, 0, H - 1)
+        return jnp.where(ok[None], X[:, yi, xi], 0.0)
+
+    return jax.lax.cond(angle != 0.0, rotate, lambda x: x, X)
+
+
 def transform_anchors(target, angle, flip_y, flip_x, dy, dx, sizey, sizex):
     """Anchor transform on the label DataFrame — direct reimplementation of
     the reference's transform_Y (data_utils.py:64-137): translate (out of

@@ -24,8 +24,14 @@ def img_as_float32(arr):
     return arr.astype(np.float32)
 
 
-def read_tiff(path):
-    """Read a multi-page grayscale TIFF into float32 [T, H, W] in [0, 1]."""
+def read_tiff_raw(path):
+    """Read a multi-page grayscale TIFF in its NATIVE dtype [T, H, W].
+
+    uint16 microscopy data stays uint16 — the beyond-HBM staged training
+    path (data/timelapse.py big-movie mode) keeps the raw integers on host
+    and normalizes on device, halving host RAM and making host->device
+    transfers compressible.
+    """
     img = Image.open(path)
     frames = []
     for page in ImageSequence.Iterator(img):
@@ -33,8 +39,12 @@ def read_tiff(path):
         if a.ndim == 3:      # RGB(A) page: take first channel (grayscale data)
             a = a[..., 0]
         frames.append(a)
-    stack = np.stack(frames, 0)
-    return img_as_float32(stack)
+    return np.stack(frames, 0)
+
+
+def read_tiff(path):
+    """Read a multi-page grayscale TIFF into float32 [T, H, W] in [0, 1]."""
+    return img_as_float32(read_tiff_raw(path))
 
 
 def write_tiff(path, stack):

@@ -74,6 +74,14 @@ class Timelapse:
         self.Sy, self.Sx = Sy, Sx
         self.tilesize = tilesize
 
+        # beyond-HBM staging (VERDICT r2 item 1): uint16 movies bigger than
+        # the device budget keep their RAW integers on host; preprocessing
+        # moves on-device (per chunk, exact same math) and training runs
+        # chunk-resident epochs (train/bigmovie.py). Halves host RAM and
+        # ships compressible u16 through the ~20x-faster tunnel path.
+        self._u16_staged = False
+        self._standardize_framewise = standardize_framewise
+
         frames, mask = self._read_tiff(imseq_path, mask_path, offset, plot)
         self.sizet, self.sizey, self.sizex = frames.shape
         self.size_chnls, self.size_colchnls = self._get_channelsizes()
@@ -98,15 +106,38 @@ class Timelapse:
 
         self.X_tiled, self.target_tiled, self.tile_info = None, None, None
         self._tile_flat_idx, self._tile_yx = None, None
+        self._chunk_epoch = None
 
         if cache:
             self._save_cache(cache)
 
     # ------------------------------------------------------------------ io
     def _read_tiff(self, path, mask_path, offset, plot):
-        """Read + mask + offset + pad (reference Timelapse.py:205-243)."""
+        """Read + mask + offset + pad (reference Timelapse.py:205-243).
+
+        ``path`` may also be an in-memory [T, H, W] array (uint16 raw or
+        float32 in [0, 1]) — used by beyond-HBM benchmarks/tests where
+        round-tripping tens of GB through a TIFF file is pointless.
+
+        uint16 movies beyond the device budget stay uint16 (staged mode):
+        mask + pad apply exactly in the integer domain; the intensity
+        offset is deferred to the on-device preprocessing (it needs float
+        math) and stored as ``_stage_offset``.
+        """
         print('Loading .tif image...', end='', flush=True)
-        imseq = read_tiff(path)
+        if isinstance(path, np.ndarray):
+            imseq = path
+        else:
+            from .tiffio import read_tiff_raw
+            imseq = read_tiff_raw(path)
+        stage = (imseq.dtype == np.uint16
+                 and imseq.nbytes * 2 > self._DEVICE_MOVIE_BUDGET
+                 and self.use_motion_filtered == 'exclude'
+                 and not self._standardize_framewise)
+        if not stage:
+            from .tiffio import img_as_float32
+            imseq = img_as_float32(imseq)
+        self._u16_staged = stage
 
         print('masking...', end='', flush=True)
         if mask_path and not str(mask_path).endswith('None'):
@@ -117,10 +148,14 @@ class Timelapse:
             mask = mask[0]
         imseq[:, ~mask] = 0
 
+        self._stage_offset = 0.0
         if offset:
             offset = offset / 2 ** 16 if isinstance(offset, int) else offset
             print(f'offsetting by {offset:.4f} (0-1)...', end='', flush=True)
-            imseq = np.maximum(imseq - offset, 0)
+            if stage:
+                self._stage_offset = float(offset)   # applied on device
+            else:
+                imseq = np.maximum(imseq - offset, 0)
         if self.pad is not None and any(self.pad):
             print('padding...', end='', flush=True)
             top, right, bottom, left = self.pad
@@ -133,8 +168,12 @@ class Timelapse:
         else:
             self.timepoints = list(self.timepoints)
         if plot:
-            self.plot_data['Original'] = (imseq[self.timepoints[0]].copy(),
-                                          imseq[self.timepoints[-1]].copy())
+            f0, f1 = imseq[self.timepoints[0]], imseq[self.timepoints[-1]]
+            if stage:
+                from .tiffio import img_as_float32
+                f0 = np.maximum(img_as_float32(f0) - self._stage_offset, 0)
+                f1 = np.maximum(img_as_float32(f1) - self._stage_offset, 0)
+            self.plot_data['Original'] = (f0.copy(), f1.copy())
         print('Done.')
         return imseq, mask
 
@@ -142,6 +181,10 @@ class Timelapse:
                     standardize, standardize_framewise, cache, plot):
         """Fused clip/log/standardize chain (reference Timelapse.py:245-326).
         Runs stepwise only when plot_data capture is requested."""
+        if self._u16_staged:
+            return self._preprocess_staged(frames, contrast_llim,
+                                           log_correct, standardize, cache,
+                                           plot)
         x = jnp.asarray(frames)
         lower = 0.0
         if contrast_llim:
@@ -192,6 +235,88 @@ class Timelapse:
                 pickle.dump(stnd_scaler, file)
         print('Done.')
         return np.asarray(x), stnd_scaler
+
+    def _preprocess_staged(self, frames, contrast_llim, log_correct,
+                           standardize, cache, plot):
+        """Beyond-HBM preprocessing: frames stay RAW uint16 on host; the
+        normalize/offset/clip/log/standardize chain runs on device per
+        chunk (ops/preproc.staged_preprocess_u16 — exact same math as the
+        in-memory path). One chunked pass here computes the per-frame
+        nonzero statistics (for the standardization scaler,
+        reference Timelapse.py:277-326) and the per-frame non-empty-tile
+        table (feeds tile_info; reference Timelapse.py:551-553).
+        """
+        from ..ops.preproc import staged_preprocess_u16, nonzero_stats
+        lower = 0.0
+        if contrast_llim:
+            lower = (contrast_llim / 2 ** 16 if isinstance(contrast_llim, int)
+                     else contrast_llim)
+        if lower:
+            print(f'Image clipped to min value: {lower:.4f} (0-1) [staged]')
+
+        mode = standardize[0] if isinstance(standardize, (tuple, list)) \
+            else standardize
+        passed = standardize[1] if isinstance(standardize, (tuple, list)) \
+            else None
+
+        # one chunked device pass: per-frame nonzero stats + tile table
+        chunk = max(1, int(self._DEVICE_MOVIE_BUDGET
+                           // (6 * frames[0].nbytes)))
+        means, stds, mxs, ne_parts = [], [], [], []
+        ts = self.tilesize
+        print(f'Staged preprocessing ({len(frames)} frames, '
+              f'chunks of {chunk})...', end='', flush=True)
+        for t0 in range(0, len(frames), chunk):
+            x = staged_preprocess_u16(
+                jnp.asarray(frames[t0:t0 + chunk]), self._stage_offset,
+                lower, 1.0, log_correct=bool(log_correct))
+            m, s, mx = nonzero_stats(x)
+            means.append(np.asarray(m))
+            stds.append(np.asarray(s))
+            mxs.append(np.asarray(mx))
+            tiles = TL.tile_frames(x, ts)
+            ne_parts.append(np.asarray((tiles > 0).any(axis=(3, 4))))
+        self._nonempty_table = np.concatenate(ne_parts)    # [T_all, ny, nx]
+        print('Done.')
+
+        stnd_scaler = (None, None)
+        var_scalar = 1.0
+        if mode:
+            print(f'Standardizing image values ({mode}, staged)...', end='',
+                  flush=True)
+            if passed is not None:
+                var_scalar, mean_scalar = passed
+                stnd_scaler = (mode, (float(var_scalar), float(mean_scalar)))
+                print('using passed scalers...', end='')
+            else:
+                # collapsed scalars from the per-frame stats
+                # (ops/preproc.compute_stnd_scaler semantics)
+                if mode == 'zscore':
+                    var_scalar = float(np.mean(np.concatenate(stds)))
+                    mean_scalar = float(np.mean(np.concatenate(means)))
+                else:                                      # '0to1'
+                    var_scalar = float(np.max(np.concatenate(mxs)))
+                    mean_scalar = 0.0
+                stnd_scaler = (mode, (var_scalar, mean_scalar))
+            print('Done.')
+
+        self._stage = dict(offset=float(self._stage_offset),
+                           lower=float(lower), log=bool(log_correct),
+                           var=float(var_scalar))
+
+        if plot:
+            f0, f1 = frames[self.timepoints[0]], frames[self.timepoints[-1]]
+            pre = lambda f: np.asarray(staged_preprocess_u16(    # noqa: E731
+                jnp.asarray(f[None]), self._stage_offset, lower, var_scalar,
+                log_correct=bool(log_correct))[0])
+            self.plot_data['Standardized (staged)'] = (pre(f0), pre(f1))
+
+        if cache and 'train' in (self.name or ''):
+            fname = f'{cache}/{self.name}_stnd_scaler.pkl'
+            with open(fname, 'wb') as file:
+                print('writing standardization scaler to file...', end='')
+                pickle.dump(stnd_scaler, file)
+        return frames, stnd_scaler
 
     def _compute_motion(self, frames, standardize, plot):
         """Motion channels (deprecated path, reference Timelapse.py:328-368).
@@ -250,6 +375,8 @@ class Timelapse:
         if self.p_motion_seq is not None:
             self.p_motion_seq = self.p_motion_seq[all_tps]
             self.n_motion_seq = self.n_motion_seq[all_tps]
+        if getattr(self, '_nonempty_table', None) is not None:
+            self._nonempty_table = self._nonempty_table[all_tps]
         target = self.target.iloc[all_tps]
         return timepoints_indices, len(tps), target, frames
 
@@ -298,6 +425,58 @@ class Timelapse:
     _DEVICE_MOVIE_BUDGET = int(os.environ.get(
         'AXTRACK_DEVICE_MOVIE_BUDGET', 4 * 1024 ** 3))
 
+    def _staged_keep(self, dy, dx, flip_y, flip_x, angle):
+        """Kept-tile mask for the current transform, from one [H, W] image
+        (see construct_tiles staged branch for the exactness argument)."""
+        from .augment import transform_frames
+        from ..ops.preproc import staged_preprocess_u16
+        s = self._stage
+        pix = getattr(self, '_u16_pixmax', None)
+        if pix is None:
+            pix = self._u16_pixmax = np.asarray(self.X).max(axis=0)
+        ind = (staged_preprocess_u16(
+            jnp.asarray(pix)[None], s['offset'], s['lower'], 1.0,
+            log_correct=s['log']) > 0).astype(jnp.float32)
+        ind = transform_frames(ind, dy=dy, dx=dx, flip_y=flip_y,
+                               flip_x=flip_x, angle=angle or 0.0)
+        tiles = TL.tile_frames(ind[0], self.tilesize)
+        return np.asarray((tiles > 0).any(axis=(2, 3)))
+
+    def staged_chunk(self, lo, hi):
+        """Raw uint16 frames [lo:hi) as a device array (staged mode) —
+        the per-chunk host->device ship of the chunk-resident epoch."""
+        return jnp.asarray(np.ascontiguousarray(self.X[lo:hi]))
+
+    def materialize_tiles(self):
+        """Fill host X_tiled for a STAGED dataset (chunked u16 -> device
+        preproc -> f32 tiles -> host). Only consumers that genuinely need
+        every tile on host at once (the whole-movie detection path,
+        detections.py) call this; training never does."""
+        if self.X_tiled is not None or not self._u16_staged:
+            return
+        from ..ops.preproc import staged_preprocess_u16
+        ce = self._chunk_epoch or dict(dy=0, dx=0, flip_y=False,
+                                       flip_x=False, angle=0.0)
+        from .augment import transform_frames
+        s = self._stage
+        ts = self.tilesize
+        T_all = self.X.shape[0]
+        chunk = max(1, int(self._DEVICE_MOVIE_BUDGET
+                           // (8 * 4 * self.X[0].nbytes)))
+        parts = []
+        for t0 in range(0, T_all, chunk):
+            x = staged_preprocess_u16(
+                self.staged_chunk(t0, min(t0 + chunk, T_all)),
+                s['offset'], s['lower'], s['var'], log_correct=s['log'])
+            x = transform_frames(x, dy=ce['dy'], dx=ce['dx'],
+                                 flip_y=ce['flip_y'], flip_x=ce['flip_x'],
+                                 angle=ce['angle'])
+            tiles_c = TL.tile_frames(x, ts)
+            flat_c = tiles_c.reshape(tiles_c.shape[0],
+                                     self.ytiles * self.xtiles, ts, ts)
+            parts.append(np.asarray(flat_c[:, self._tile_flat_idx]))
+        self.X_tiled = np.concatenate(parts)
+
     def construct_tiles(self, device=None, force_no_transformation=False):
         """Build X_tiled / target_tiled / tile_info for the current epoch
         (reference Timelapse.py:492-566). Augmentation redraws each call.
@@ -334,14 +513,43 @@ class Timelapse:
 
         ts = self.tilesize
         T_all = self.X.shape[0]
-        big = (self.X.nbytes > self._DEVICE_MOVIE_BUDGET
-               and self.use_motion_filtered == 'exclude')
+        # motion modes keep up to three movie-sized sequences around, so
+        # they hit the budget at a third of the frame count (ADVICE r2 low:
+        # previously motion-mode movies always took the whole-movie device
+        # path and could OOM HBM instead of streaming)
+        n_seqs = 1 if self.use_motion_filtered == 'exclude' else 3
+        big = n_seqs * self.X.nbytes > self._DEVICE_MOVIE_BUDGET
 
         def transform(x):
             return transform_frames(x, dy=dy, dx=dx, flip_y=flip_y,
                                     flip_x=flip_x, angle=angle or 0.0)
 
-        if not big:
+        self._chunk_epoch = None
+        if self._u16_staged:
+            # beyond-HBM staged mode: nothing movie-sized is materialized.
+            # The kept-tile set comes from ONE [H, W] image: a tile of the
+            # transformed movie is non-empty iff the transformed
+            # "any-frame-nonzero" indicator has mass in it (the transform
+            # is a fixed nonneg-weight resampling shared by all frames, so
+            # any_t(transform(x_t)) == transform(any_t(x_t)) pixelwise; and
+            # preproc positivity is a monotone threshold on the raw u16, so
+            # any_t reduces to the per-pixel max). Tiles/targets for the
+            # epoch are produced chunk-by-chunk on device by the engine's
+            # chunk-resident epoch (train/bigmovie.py). tile_info's
+            # per-frame non-empty column uses the UNTRANSFORMED table
+            # (computed once at init) — a documented approximation; npos
+            # stays exact via target_tiled.
+            keep = self._staged_keep(dy, dx, flip_y, flip_x, angle)
+            if not keep.any():
+                keep[0, 0] = True
+            self._tile_flat_idx, self._tile_yx = TL.tile_index_table(keep)
+            self.X_tiled = None
+            self._chunk_epoch = dict(dy=int(dy), dx=int(dx),
+                                     flip_y=bool(flip_y),
+                                     flip_x=bool(flip_x),
+                                     angle=float(angle or 0.0))
+            non_empty = np.asarray(self._nonempty_table)
+        elif not big:
             X = transform(self._device_movie('_X_dev', self.X))
             tiles = TL.tile_frames(X, ts)            # [T_all, ny, nx, ts, ts]
             keep = TL.nonempty_tile_mask(tiles)      # device reduce
@@ -382,13 +590,29 @@ class Timelapse:
             if not keep.any():
                 keep[0, 0] = True
             self._tile_flat_idx, self._tile_yx = TL.tile_index_table(keep)
-            parts = []
-            for t0 in range(0, T_all, chunk):
+
+            def flat_kept(host_seq, t0, do_transform):
+                x = jnp.asarray(host_seq[t0:t0 + chunk])
                 tiles_c = TL.tile_frames(
-                    transform(jnp.asarray(self.X[t0:t0 + chunk])), ts)
+                    transform(x) if do_transform else x, ts)
                 flat_c = tiles_c.reshape(tiles_c.shape[0],
                                          self.ytiles * self.xtiles, ts, ts)
-                parts.append(np.asarray(flat_c[:, self._tile_flat_idx]))
+                return np.asarray(flat_c[:, self._tile_flat_idx])
+
+            parts = []
+            for t0 in range(0, T_all, chunk):
+                if self.use_motion_filtered == 'exclude':
+                    parts.append(flat_kept(self.X, t0, True))
+                else:
+                    # motion modes stream too (ADVICE r2 low): stack the
+                    # (img?, pos, neg) color channels per tile, mirroring
+                    # the device path above (motion sequences untransformed
+                    # there as well)
+                    chans = ([] if self.use_motion_filtered == 'only'
+                             else [flat_kept(self.X, t0, True)])
+                    chans += [flat_kept(self.p_motion_seq, t0, False),
+                              flat_kept(self.n_motion_seq, t0, False)]
+                    parts.append(np.stack(chans, axis=2))
             self.X_tiled = np.concatenate(parts)     # host-resident
             non_empty = np.concatenate(ne_parts)
         K = len(self._tile_flat_idx)
@@ -419,17 +643,25 @@ class Timelapse:
         print('Done.', flush=True)
 
     # ------------------------------------------------- dataset interface
-    def __len__(self):
-        assert self.X_tiled is not None, \
+    @property
+    def ntiles_kept(self):
+        """K, the kept-tile count — from X_tiled when materialized, else
+        from the kept-tile index (staged big movies never materialize)."""
+        if self.X_tiled is not None:
+            return self.X_tiled.shape[1]
+        assert self._tile_flat_idx is not None, \
             'No tiles yet. Run dataset.construct_tiles() before iterating.'
-        return self.sizet * self.X_tiled.shape[1]
+        return len(self._tile_flat_idx)
+
+    def __len__(self):
+        return self.sizet * self.ntiles_kept
 
     def unfold_idx(self, idx):
-        return divmod(idx, self.X_tiled.shape[1])
+        return divmod(idx, self.ntiles_kept)
 
     def fold_idx(self, idx):
         t_idx, tile_idx = idx
-        return t_idx * self.X_tiled.shape[1] + tile_idx
+        return t_idx * self.ntiles_kept + tile_idx
 
     def flat_tile_idx2yx_tile_idx(self, tile_idx):
         fi = int(self._tile_flat_idx[tile_idx])
@@ -441,9 +673,43 @@ class Timelapse:
         t_idx, tile_idx = self.unfold_idx(idx)
         t_all = self.timepoints_indices[t_idx]
         tc = self.temporal_context
+        if self._u16_staged and self.X_tiled is None:
+            return self._staged_item(t_all, tile_idx)
         X = self.X_tiled[t_all - tc:t_all + tc + 1, tile_idx]
         if X.ndim == 4:      # motion modes: [5, C_col, ts, ts] -> frame-major
             X = X.reshape(-1, *X.shape[-2:])
+        X = np.moveaxis(X, 0, -1)                               # NHWC
+        return X, self.target_tiled[t_all, tile_idx]
+
+    def _staged_range_tiles(self, lo, hi):
+        """Kept tiles of frames [lo:hi) for a staged big movie: preproc +
+        transform on device. f32[hi-lo, K, ts, ts]."""
+        from ..ops.preproc import staged_preprocess_u16
+        from .augment import transform_frames
+        s = self._stage
+        ce = self._chunk_epoch or dict(dy=0, dx=0, flip_y=False,
+                                       flip_x=False, angle=0.0)
+        x = staged_preprocess_u16(self.staged_chunk(lo, hi),
+                                  s['offset'], s['lower'], s['var'],
+                                  log_correct=s['log'])
+        x = transform_frames(x, dy=ce['dy'], dx=ce['dx'],
+                             flip_y=ce['flip_y'], flip_x=ce['flip_x'],
+                             angle=ce['angle'])
+        flat = TL.tile_frames(x, self.tilesize).reshape(
+            x.shape[0], self.ytiles * self.xtiles,
+            self.tilesize, self.tilesize)
+        return flat[:, self._tile_flat_idx]
+
+    def _staged_frame_tiles(self, t_all):
+        """Kept tiles of the context frames around t_all for a staged big
+        movie. f32[C_f, K, ts, ts]."""
+        tc = self.temporal_context
+        return self._staged_range_tiles(t_all - tc, t_all + tc + 1)
+
+    def _staged_item(self, t_all, tile_idx):
+        """__getitem__ for staged big movies: preproc + transform just the
+        context frames on device, tile, and slice out the one tile."""
+        X = np.asarray(self._staged_frame_tiles(t_all)[:, tile_idx])
         X = np.moveaxis(X, 0, -1)                               # NHWC
         return X, self.target_tiled[t_all, tile_idx]
 
@@ -452,6 +718,9 @@ class Timelapse:
         (reference Timelapse.py:150-157). Returns jnp arrays."""
         t_all = self.timepoints_indices[timepoint]
         tc = self.temporal_context
+        if self._u16_staged and self.X_tiled is None:
+            X = jnp.moveaxis(self._staged_frame_tiles(t_all), 0, -1)
+            return X, jnp.asarray(self.target_tiled[t_all])
         X = jnp.asarray(self.X_tiled)[t_all - tc:t_all + tc + 1]
         if X.ndim == 5:      # motion modes: [5, K, C_col, ts, ts]
             # -> [K, 5*C_col, ts, ts], frame-major channel order
@@ -463,8 +732,15 @@ class Timelapse:
 
     def get_frame_image(self, timepoint):
         """Full processed frame f32[H, W] (the reference reconstructs this
-        by stitching tiles, Timelapse.py:166-197; we kept the frames)."""
+        by stitching tiles, Timelapse.py:166-197; we kept the frames).
+        Staged big movies preprocess the one frame on device on demand."""
         t_all = self.timepoints_indices[timepoint]
+        if self._u16_staged:
+            from ..ops.preproc import staged_preprocess_u16
+            s = self._stage
+            return np.asarray(staged_preprocess_u16(
+                jnp.asarray(self.X[t_all][None]), s['offset'], s['lower'],
+                s['var'], log_correct=s['log'])[0])
         return self.X[t_all]
 
     def stitch_tiles(self, pd_tiled_det, img_tiled=None, reset_index=False):

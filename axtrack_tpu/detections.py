@@ -302,7 +302,13 @@ class AxonDetections:
             chunk = subset[c0:c0 + chunk_frames]
             t_all = [ds.timepoints_indices[t] for t in chunk]
             lo, hi = min(t_all) - tc, max(t_all) + tc + 1
-            tiles_chunk = jnp.asarray(ds.X_tiled[lo:hi])
+            if getattr(ds, '_u16_staged', False) and ds.X_tiled is None:
+                # beyond-HBM staged movie: build the chunk's tiles on
+                # device from the raw u16 frames (ships 2 bytes/px of
+                # compressible data instead of a host f32 tile stack)
+                tiles_chunk = ds._staged_range_tiles(lo, hi)
+            else:
+                tiles_chunk = jnp.asarray(ds.X_tiled[lo:hi])
             centers = jnp.asarray([t - lo for t in t_all], jnp.int32)
             print(f'frames {chunk[0]}..{chunk[-1]}', end='...', flush=True)
             packed = np.asarray(

@@ -25,7 +25,14 @@ Layout conversions:
   - the FIRST linear consumes the flattened conv features, and torch
     flattens NCHW (index c*H*W + h*W + w) while flax flattens NHWC
     (index h*W*C + w*C + c): its input rows are permuted accordingly.
+
+A torch-FREE ``.pth`` reader (``read_pth``) makes the conversion path
+executable without torch installed: torch's zip container is just
+data.pkl + raw storage blobs (see reader docstring).
 """
+import pickle
+import zipfile
+
 import numpy as np
 
 
@@ -111,12 +118,95 @@ def torch_state_dict_to_flax(state_dict, P):
     return {'params': to_jnp(params), 'batch_stats': to_jnp(batch_stats)}
 
 
+# ---------------------------------------------------------------------------
+# torch-free .pth reader (VERDICT r2 item 4)
+#
+# torch.save's zip format: <name>/data.pkl (pickle with persistent IDs
+# ('storage', <TypedStorage class>, key, location, numel)) plus raw little-
+# endian storage blobs at <name>/data/<key>. Reading it needs only zipfile +
+# a pickle.Unpickler subclass — no torch — so the reference-checkpoint
+# parity path is executable in torch-less environments too.
+# ---------------------------------------------------------------------------
+
+_STORAGE_DTYPES = {
+    'FloatStorage': np.float32, 'DoubleStorage': np.float64,
+    'HalfStorage': np.float16, 'LongStorage': np.int64,
+    'IntStorage': np.int32, 'ShortStorage': np.int16,
+    'CharStorage': np.int8, 'ByteStorage': np.uint8,
+    'BoolStorage': np.bool_,
+}
+
+
+def _rebuild_tensor_np(storage, storage_offset, size, stride, *unused):
+    """numpy stand-in for torch._utils._rebuild_tensor_v2."""
+    arr = storage
+    if len(size) == 0:
+        return arr[storage_offset].copy()
+    strides = tuple(s * arr.itemsize for s in stride)
+    view = np.lib.stride_tricks.as_strided(
+        arr[storage_offset:], shape=tuple(size), strides=strides)
+    return view.copy()
+
+
+class _PthUnpickler(pickle.Unpickler):
+    def __init__(self, file, read_storage):
+        super().__init__(file, encoding='latin1')
+        self._read_storage = read_storage
+
+    def find_class(self, module, name):
+        if module == 'torch._utils' and name in (
+                '_rebuild_tensor_v2', '_rebuild_tensor'):
+            return _rebuild_tensor_np
+        if module == 'torch._utils' and name == '_rebuild_parameter':
+            return lambda tensor, *a: tensor
+        if module == 'torch' and name in _STORAGE_DTYPES:
+            return _STORAGE_DTYPES[name]
+        if module == 'torch' and name == 'BFloat16Storage':
+            import ml_dtypes
+            return np.dtype(ml_dtypes.bfloat16)
+        if module in ('collections', 'numpy', 'numpy.core.multiarray',
+                      'numpy._core.multiarray'):
+            return super().find_class(module, name)
+        if module.startswith('torch'):
+            # inert placeholder for anything else torch-flavored (devices,
+            # dtypes riding in optimizer/scheduler state): callable and
+            # hashable, never used by the converter
+            return lambda *a, **k: None
+        return super().find_class(module, name)
+
+    def persistent_load(self, pid):
+        kind, dtype, key, _location, numel = pid
+        assert kind == 'storage', pid
+        return self._read_storage(key, np.dtype(dtype), numel)
+
+
+def read_pth(path):
+    """Parse a torch-format zip checkpoint into plain numpy containers
+    (dicts/lists/np.ndarrays), without importing torch."""
+    with zipfile.ZipFile(path) as zf:
+        pkl_names = [n for n in zf.namelist() if n.endswith('/data.pkl')]
+        if not pkl_names:
+            raise ValueError(
+                f'{path}: not a torch zip checkpoint (no data.pkl); '
+                'legacy (pre-1.6) tar-format saves are not supported')
+        prefix = pkl_names[0][:-len('data.pkl')]
+
+        def read_storage(key, dtype, numel):
+            buf = zf.read(f'{prefix}data/{key}')
+            a = np.frombuffer(buf, dtype=dtype, count=numel)
+            return a
+
+        with zf.open(pkl_names[0]) as f:
+            return _PthUnpickler(f, read_storage).load()
+
+
 def load_torch_checkpoint(path, P):
     """Load a reference E{epoch}.pth (torch.save of {"state_dict": ...,
-    "optimizer": ..., "lr_schedular": ...}, utils.py:258-263) and convert.
-    Accepts a bare state dict too."""
-    import torch
-    ckpt = torch.load(path, map_location='cpu', weights_only=False)
+    "optimizer": ..., "lr_schedular": ...}, reference utils.py:258-263) and
+    convert to flax variables. Accepts a bare state dict too. Torch-free:
+    uses the zip+pickle reader above (parity vs torch.load is tested when
+    torch is importable)."""
+    ckpt = read_pth(path)
     state_dict = ckpt.get('state_dict', ckpt) if isinstance(ckpt, dict) \
         else ckpt
     return torch_state_dict_to_flax(state_dict, P)

@@ -2,9 +2,9 @@
 
 Same algorithm as ops/geodesic.py (Gauss-Seidel chamfer sweeps with
 obstacle-respecting min-plus row relaxation) but executed entirely in VMEM
-by one Mosaic program per block of 8 sources — the pure-XLA version pays
-per-op overhead on ~16k tiny row steps; in-kernel the row loop is tight VPU
-code.
+by one Mosaic program per block of SRC_BLOCK sources — the pure-XLA version
+pays per-op overhead on ~16k tiny row steps; in-kernel the row loop is
+tight VPU code.
 
 Row relaxation uses (c, k) function-composition doubling instead of
 jax.lax.associative_scan: f(s) = min(c, s + k) composes as
@@ -14,9 +14,11 @@ prefix relaxation in both directions. Blocked cells carry (inf, inf) and
 absorb propagation. Semantics contract identical to native/astar.cpp and
 ops/geodesic.py (parity-tested).
 
-Layout: 8 sources per program -> row ops are [8, W] tiles (full VPU
-sublanes). Crops are f32 0/1 flags (v5e Mosaic supports neither int8
-compares nor int8 max), so crop + distance map need 2x8.4MB VMEM at W=512.
+Layout: SRC_BLOCK sources per program -> row ops are [SRC_BLOCK, W] tiles
+(full VPU sublanes). Crops are f32 0/1 flags (v5e Mosaic supports neither
+int8 compares nor int8 max), so crop + distance map need
+2 x SRC_BLOCK x W^2 x 4B VMEM — the per-window block size keeps that under
+budget at every supported window (see _src_block).
 """
 from functools import partial
 
@@ -26,8 +28,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 INF = 1e9  # plain float: pallas kernels cannot capture array constants
-SRC_BLOCK = 16   # sources per program; 16 amortizes vector-op latency
-#                  (32 exceeds v5e's 128MB VMEM at window=512)
+SRC_BLOCK = 16   # sources per program at window<=512; 16 amortizes
+#                  vector-op latency (32 exceeds v5e's 128MB VMEM at 512)
+
+_VMEM_BUDGET = 120 * 1024 * 1024
+
+
+def _src_block(window):
+    """Sources-per-program for a given window size.
+
+    VMEM holds crop + out (+ init for the continuation variant) blocks of
+    SRC_BLOCK x window^2 f32 each, plus input double-buffering. 16 sources
+    fit at window<=512 (2x16MB + slack); at window=1024 that would be
+    2x64MB — over both the 120MB limit and v5e's VMEM (ADVICE r2 medium) —
+    so the block shrinks with the window area (power of two, min 1):
+    window=1024 -> 4 (crop+out+init 48MB + double-buffer 16MB).
+    """
+    if window <= 512:
+        return SRC_BLOCK
+    blk = max(1, (SRC_BLOCK * 512 * 512) // (window * window))
+    while blk & (blk - 1):          # round down to a power of two
+        blk &= blk - 1
+    return blk
 
 
 def _row_relax(c, k, W):
@@ -75,19 +97,19 @@ def _row_relax(c, k, W):
 
 
 def _chamfer_kernel(src_ref, crop_ref, d_ref, *, window, max_sweeps,
-                    init_ref=None):
-    """One program: distance maps for SRC_BLOCK sources.
+                    block, init_ref=None):
+    """One program: distance maps for ``block`` sources.
 
     src_ref: SMEM i32[N_total, 2] local (y, x) of every source (scalar
       prefetch; indexed by program).
-    crop_ref: VMEM f32[SRC_BLOCK, W, W], 1.0 = passable.
-    d_ref: VMEM f32[SRC_BLOCK, W, W] output (steps; INF unreachable).
-    init_ref: optional VMEM f32[SRC_BLOCK, W, W] — a previous launch's
+    crop_ref: VMEM f32[block, W, W], 1.0 = passable.
+    d_ref: VMEM f32[block, W, W] output (steps; INF unreachable).
+    init_ref: optional VMEM f32[block, W, W] — a previous launch's
       distance maps; when given, sweeps CONTINUE from it (convergence
       probing / doubling) instead of re-initializing from the sources.
     """
     W = window
-    B = SRC_BLOCK
+    B = block
     prog = pl.program_id(0)
 
     if init_ref is not None:
@@ -159,7 +181,7 @@ def _pad_srcs(passable_padded, srcs_yx, window):
     Hp, Wp = passable_padded.shape
     srcs = jnp.asarray(srcs_yx, jnp.int32).reshape(-1, 2)
     N = srcs.shape[0]
-    Np = SRC_BLOCK
+    Np = _src_block(window)
     while Np < N:
         Np *= 2
     srcs_p = jnp.pad(srcs, ((0, Np - N), (0, 0)))
@@ -180,16 +202,18 @@ def _crops_for(passable_padded, origins, local, window, Np):
 
 def _launch(local, crops, window, max_sweeps, interpret, init=None):
     Np = crops.shape[0]
-    grid = Np // SRC_BLOCK
-    blk = pl.BlockSpec((SRC_BLOCK, window, window), lambda i, s: (i, 0, 0))
+    B = _src_block(window)
+    grid = Np // B
+    blk = pl.BlockSpec((B, window, window), lambda i, s: (i, 0, 0))
     in_specs = [blk] + ([blk] if init is not None else [])
     args = (local, crops) + ((init,) if init is not None else ())
     return pl.pallas_call(
-        partial(_chamfer_kernel, window=window, max_sweeps=max_sweeps)
+        partial(_chamfer_kernel, window=window, max_sweeps=max_sweeps,
+                block=B)
         if init is None else
         (lambda src_ref, crop_ref, init_ref, d_ref: _chamfer_kernel(
             src_ref, crop_ref, d_ref, window=window, max_sweeps=max_sweeps,
-            init_ref=init_ref)),
+            block=B, init_ref=init_ref)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(grid,),
@@ -199,8 +223,9 @@ def _launch(local, crops, window, max_sweeps, interpret, init=None):
         out_shape=jax.ShapeDtypeStruct((Np, window, window), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             # v5e has 128MB VMEM; the init-continuation variant needs
-            # crop+init+out blocks (3 x SRC_BLOCK x window^2 f32) resident
-            vmem_limit_bytes=120 * 1024 * 1024),
+            # crop+init+out blocks (3 x B x window^2 f32) resident — the
+            # per-window B keeps that under budget at window>512 too
+            vmem_limit_bytes=_VMEM_BUDGET),
         interpret=interpret,
     )(*args)
 
@@ -231,7 +256,10 @@ def _continue_windows_pallas(passable_padded, srcs_yx, dmaps, window,
     init = jnp.pad(dmaps, ((0, Np - N), (0, 0), (0, 0)),
                    constant_values=INF)
     out = _launch(local, crops, window, sweeps, interpret, init=init)
-    return out[:N], _locally_consistent(out, crops)
+    # certify the N REAL maps only: pad sources sit at (0, 0), and a
+    # slow-converging mask corner there must not veto convergence of the
+    # real maps (ADVICE r2 low)
+    return out[:N], _locally_consistent(out[:N], crops[:N])
 
 
 def _locally_consistent(dmaps, crops):
@@ -282,7 +310,9 @@ def batched_windows_probed(passable_padded, srcs_yx, window, max_sweeps=1,
     N, Np, origins, local = _pad_srcs(passable_padded, srcs_yx, window)
     crops = _crops_for(passable_padded, origins, local, window, Np)
     dmaps = _launch(local, crops, window, max_sweeps, interpret)
-    converged = _locally_consistent(dmaps, crops)
+    # pad entries (sources at (0,0)) must not veto convergence of the N
+    # real maps (ADVICE r2 low)
+    converged = _locally_consistent(dmaps[:N], crops[:N])
     return dmaps[:N], origins[:N], converged
 
 

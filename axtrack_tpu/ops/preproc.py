@@ -54,6 +54,25 @@ def preprocess_frames(imseq, mask, offset, clip_lowerlim, var_scalar,
     return x / var_scalar
 
 
+@partial(jax.jit, static_argnames=('log_correct',))
+def staged_preprocess_u16(u16, offset, clip_lowerlim, var_scalar,
+                          log_correct=True):
+    """preprocess_frames for RAW uint16 input (beyond-HBM staged mode).
+
+    The host keeps the movie as masked/padded uint16 (data/timelapse.py
+    staged mode); this op performs the img_as_float32 normalization
+    (u/65535, tiffio.py:19-20) followed by the exact preprocess_frames
+    chain on device. offset/clip/var are runtime scalars so one compiled
+    program serves every dataset.
+    """
+    x = u16.astype(jnp.float32) / jnp.float32(65535.0)
+    x = jnp.maximum(x - offset, 0.0)
+    x = jnp.where(x < clip_lowerlim, 0.0, x)
+    if log_correct:
+        x = adjust_log(x)
+    return x / var_scalar
+
+
 @jax.jit
 def nonzero_stats(frames):
     """Per-frame mean/std/max over nonzero pixels.

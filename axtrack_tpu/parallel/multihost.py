@@ -24,18 +24,30 @@ def init_distributed(coordinator_address=None, num_processes=None,
     With no arguments, jax.distributed.initialize() auto-discovers the
     cluster on TPU pods (GCE metadata). Pass explicit values for manual
     rendezvous: coordinator 'host:port', the world size, and this process'
-    rank. Safe to call in single-process runs — initialization errors from
-    an absent cluster are swallowed and the local backend is used.
+    rank. The no-argument form is safe in single-process runs —
+    initialization errors from an absent cluster are swallowed and the
+    local backend is used. With EXPLICIT rendezvous parameters a failure
+    re-raises: a typo'd coordinator or wrong world size must not silently
+    degrade a pod job to independent single-process runs (ADVICE r2 low).
     """
+    explicit = not (coordinator_address is None and num_processes is None)
     try:
-        if coordinator_address is None and num_processes is None:
-            jax.distributed.initialize()
-        else:
-            jax.distributed.initialize(
-                coordinator_address=coordinator_address,
-                num_processes=num_processes, process_id=process_id)
-    except (RuntimeError, ValueError):
-        pass  # already initialized, or single-process: local backend
+        already = jax.distributed.is_initialized()
+    except AttributeError:      # older jax: probe via global_state
+        state = getattr(jax.distributed, 'global_state', None)
+        already = getattr(state, 'client', None) is not None
+    if not already:
+        try:
+            if explicit:
+                jax.distributed.initialize(
+                    coordinator_address=coordinator_address,
+                    num_processes=num_processes, process_id=process_id)
+            else:
+                jax.distributed.initialize()
+        except (RuntimeError, ValueError):
+            if explicit:
+                raise
+            pass  # single-process: local backend
     return jax.process_count(), jax.process_index()
 
 

@@ -1,0 +1,202 @@
+"""Chunk-resident training epochs for beyond-HBM movies (VERDICT r2 item 1).
+
+The reference trains its deployed model on 323 frames of 2920x6364 f32 —
+~24 GB of movie (reference deployed_model/params.txt:6,25-26;
+experiment/experiment.py:75-112) — which exceeds one chip's HBM. Round 2's
+fallback streamed f32 batches through the host tunnel (~50 MB/s on
+incompressible data): correct but ~100x slower than the device-resident
+scan. This module replaces it with the fast path:
+
+- the host keeps the movie as RAW uint16 (data/timelapse.py staged mode;
+  half the bytes, and the tunnel moves compressible integer data ~20x
+  faster than f32 noise),
+- each epoch walks the frame axis in chunks: ONE u16 host->device ship per
+  chunk, then a single fused jitted program per chunk does
+  normalize -> offset/clip/log/standardize -> augmentation transform ->
+  tile -> kept-tile gather -> lax.scan over every full batch of that chunk
+  (forward + backward + Adam update on device),
+- augmentation parameters are traced runtime values
+  (data/augment.transform_frames_dynamic), so a fresh per-epoch draw does
+  NOT recompile the chunk program.
+
+Shuffle semantics: the reference's DataLoader shuffles (frame, tile) pairs
+globally (core_functionality.py:99-107). Beyond HBM a global shuffle would
+make every batch touch the whole movie; instead chunk ORDER is shuffled and
+pairs are shuffled WITHIN a chunk (locality-constrained shuffling, the
+standard webdataset/shard-shuffle compromise). With SHUFFLE=False the pair
+order is identical to the streaming loop over the same plan — the equality
+test (tests/test_bigmovie.py) exploits that.
+"""
+import os
+
+import numpy as np
+import pandas as pd
+import jax
+import jax.numpy as jnp
+
+from ..ops import tiling as TL
+from ..data.augment import transform_frames_dynamic
+
+
+def plan_chunks(dataset, P, shuffle=None, chunk_budget=None):
+    """Build one epoch's chunk plan.
+
+    Returns (chunks, K): chunks is a list of dicts with
+      lo/hi   — frame range (indices into the staged u16 movie, incl. halo)
+      t0/t1   — center-timepoint range [t0, t1) covered by the chunk
+      batches — i32[n_full, BATCH_SIZE] global flat (t * K + tile) indices
+      rest    — i32[r] leftover pairs (< one batch)
+    Pair indices use the same global flat scheme as the in-memory loaders
+    (engine.setup_data_loaders), so plans can be replayed through the
+    streaming path for equality testing.
+    """
+    K = dataset.ntiles_kept
+    tp = np.asarray(dataset.timepoints_indices)
+    T = dataset.sizet
+    tc = dataset.temporal_context
+    H, W, ts = dataset.sizey, dataset.sizex, dataset.tilesize
+    # device working set per frame: kept tiles (f32) + preproc'd and
+    # transformed frame copies (f32) + the raw u16 frame
+    per_frame = K * ts * ts * 4 + H * W * 10
+    budget = int(chunk_budget or os.environ.get('AXTRACK_CHUNK_BUDGET',
+                                                2_500_000_000))
+    C_t = max(1, min(T, budget // per_frame))
+    bs = P['BATCH_SIZE']
+    if shuffle is None:
+        shuffle = P['SHUFFLE']
+
+    starts = np.arange(0, T, C_t)
+    if shuffle:
+        np.random.shuffle(starts)
+    chunks = []
+    for t0 in starts:
+        t1 = int(min(t0 + C_t, T))
+        t0 = int(t0)
+        lo = int(tp[t0:t1].min() - tc)
+        hi = int(tp[t0:t1].max() + tc + 1)
+        pairs = (np.arange(t0, t1)[:, None] * K
+                 + np.arange(K)[None]).ravel().astype(np.int64)
+        if shuffle:
+            np.random.shuffle(pairs)
+        n_full = len(pairs) // bs
+        chunks.append(dict(t0=t0, t1=t1, lo=lo, hi=hi,
+                           batches=pairs[:n_full * bs].reshape(n_full, bs),
+                           rest=pairs[n_full * bs:]))
+    return chunks, K
+
+
+def _get_chunk_prog(state, dataset, P, which_dataset):
+    """Fused per-chunk program, cached on the TrainState (a fresh function
+    object per chunk/epoch would retrace; shapes key the jit cache)."""
+    cache = getattr(state, '_chunk_progs', None)
+    if cache is None:
+        cache = state._chunk_progs = {}
+    key = (which_dataset, id(dataset))
+    if key in cache:
+        return cache[key]
+
+    train_step, eval_step = state._steps
+    s = dataset._stage
+    offset, lower, var = s['offset'], s['lower'], s['var']
+    log_correct = s['log']
+    ts = dataset.tilesize
+    nyx = dataset.ytiles * dataset.xtiles
+    K = dataset.ntiles_kept
+    tc = dataset.temporal_context
+    flat_idx = jnp.asarray(dataset._tile_flat_idx)
+
+    @jax.jit
+    def run_chunk(params, batch_stats, opt_state, u16, dy, dx, fy, fx,
+                  angle, t0, centers, targets_chunk, idx_batches):
+        # normalize + preproc (exact staged_preprocess_u16 math, traced
+        # here so XLA fuses it with the transform)
+        x = u16.astype(jnp.float32) / jnp.float32(65535.0)
+        x = jnp.maximum(x - offset, 0.0)
+        x = jnp.where(x < lower, 0.0, x)
+        if log_correct:
+            x = jnp.log2(1.0 + x)
+        x = x / var
+        x = transform_frames_dynamic(x, dy, dx, fy, fx, angle)
+        tiles = TL.tile_frames(x, ts).reshape(x.shape[0], nyx, ts, ts)
+        tiles = tiles[:, flat_idx]                    # [Tc_all, K, ts, ts]
+
+        def gather(idx):
+            t_g, k = jnp.divmod(idx, K)
+            ctx = centers[t_g - t0][:, None] + jnp.arange(-tc, tc + 1)[None]
+            X = tiles[ctx, k[:, None]]                # [B, C_f, ts, ts]
+            X = jnp.moveaxis(X, 1, -1)                # NHWC
+            return X, targets_chunk[t_g - t0, k]
+
+        def step(carry, idx):
+            params, bstats, opt = carry
+            X, tgt = gather(idx)
+            if which_dataset == 'train':
+                params, bstats, opt, _loss, comps = train_step(
+                    params, bstats, opt, X, tgt)
+            else:
+                _loss, comps = eval_step(params, bstats, X, tgt)
+            return (params, bstats, opt), comps
+
+        (params, batch_stats, opt_state), comps = jax.lax.scan(
+            step, (params, batch_stats, opt_state), idx_batches)
+        return params, batch_stats, opt_state, comps
+
+    cache[key] = run_chunk
+    return run_chunk
+
+
+def run_epoch_chunked(state, dataset, which_dataset, P, plan=None):
+    """One chunk-resident epoch over a staged beyond-HBM dataset.
+
+    Semantics per batch are identical to engine.run_epoch /
+    run_epoch_device (same gather, same train_step); only the batch ORDER
+    is chunk-major (module docstring). Returns the per-batch
+    loss-component DataFrame like engine.run_epoch.
+    """
+    assert dataset._chunk_epoch is not None, \
+        'construct_tiles() has not prepared a chunked epoch'
+    ce = dataset._chunk_epoch
+    chunks, K = plan if plan is not None else plan_chunks(dataset, P)
+    prog = _get_chunk_prog(state, dataset, P, which_dataset)
+    tp = np.asarray(dataset.timepoints_indices)
+    targets_all = jnp.asarray(dataset.target_tiled)
+    tparams = (np.int32(ce['dy']), np.int32(ce['dx']),
+               np.bool_(ce['flip_y']), np.bool_(ce['flip_x']),
+               np.float32(ce['angle']))
+
+    all_comps = []
+    print(f'LOSS (chunked, {len(chunks)} chunks): ', end='', flush=True)
+    u16 = dataset.staged_chunk(chunks[0]['lo'], chunks[0]['hi'])
+    for i, ch in enumerate(chunks):
+        centers = jnp.asarray(tp[ch['t0']:ch['t1']] - ch['lo'], jnp.int32)
+        targets_chunk = targets_all[jnp.asarray(tp[ch['t0']:ch['t1']])]
+        batch_sets = []
+        if len(ch['batches']):
+            batch_sets.append(ch['batches'])
+        if len(ch['rest']) and not P['DROP_LAST']:
+            batch_sets.append(ch['rest'][None, :])
+        chunk_comps = []
+        for idx_batches in batch_sets:
+            (state.params, state.batch_stats, state.opt_state,
+             comps) = prog(state.params, state.batch_stats,
+                           state.opt_state, u16, *tparams,
+                           np.int32(ch['t0']), centers, targets_chunk,
+                           jnp.asarray(idx_batches))
+            chunk_comps.append((idx_batches.shape[0], comps))
+        # prefetch the NEXT chunk while this one computes: dispatch above
+        # is async, so the u16 host->device ship rides alongside the chunk
+        # program instead of serializing after it
+        if i + 1 < len(chunks):
+            nxt = chunks[i + 1]
+            u16_next = dataset.staged_chunk(nxt['lo'], nxt['hi'])
+        for nb, comps in chunk_comps:
+            comps = jax.tree.map(np.asarray, comps)     # blocks on chunk
+            for b in range(nb):
+                all_comps.append(pd.Series(
+                    {k: float(v[b]) for k, v in comps.items()}))
+        if i + 1 < len(chunks):
+            u16 = u16_next
+        print(f'{all_comps[-1]["total_summed_loss"]:.3f}', end='...',
+              flush=True)
+    print(f'Done ({len(all_comps)} batches).')
+    return pd.concat(all_comps, axis=1)

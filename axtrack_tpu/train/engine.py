@@ -302,11 +302,18 @@ def one_epoch(dataset, state, params, epoch, train=True, min_pos_rate=.65,
 
     if not hasattr(state, '_steps'):
         state._steps = make_train_step(state.model, state.tx, params)
+    # beyond-HBM staged movies (uint16 on host) train chunk-resident: one
+    # compressible u16 ship + one fused program per frame chunk
+    # (train/bigmovie.py; VERDICT r2 item 1)
+    if getattr(dataset, '_chunk_epoch', None) is not None:
+        from .bigmovie import run_epoch_chunked
+        epoch_loss = run_epoch_chunked(state, dataset, which_dataset,
+                                       params)
     # device-resident fast path: construct_tiles produced device-resident
     # tiles (movies within the device budget — the common case), so the
     # epoch scans batches on-device with no host round-trips. Movies beyond
     # the budget come back as host numpy (chunked big path) and stream.
-    if (device_resident and isinstance(dataset.X_tiled, jax.Array)
+    elif (device_resident and isinstance(dataset.X_tiled, jax.Array)
             and dataset.X_tiled.nbytes < 6 * 1024 ** 3):
         indices = np.arange(len(dataset))
         if params['SHUFFLE']:

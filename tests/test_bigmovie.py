@@ -1,0 +1,194 @@
+"""Beyond-HBM staged training (VERDICT r2 item 1).
+
+A uint16 movie larger than the device budget stays RAW uint16 on host
+(staged mode): preprocessing moves on-device, epochs run chunk-resident
+(one compressible u16 ship + one fused program per frame chunk). These
+tests force a small fixture through the staged path and assert it equals
+the in-memory device path: same scaler, same kept tiles, same tile values,
+and a chunk-resident training epoch whose per-batch losses and final
+parameters match the streaming loop replaying the identical batch plan.
+"""
+import numpy as np
+import pytest
+import jax
+
+from axtrack_tpu.params import get_default_parameters
+from axtrack_tpu.data.synthetic import write_fixture
+from axtrack_tpu.data.timelapse import Timelapse
+from axtrack_tpu.train import engine
+from axtrack_tpu.train.bigmovie import plan_chunks, run_epoch_chunked
+
+SMALL_BUDGET = 512 * 1024          # forces staged mode on the fixture
+CHUNK_BUDGET = 8 * 1024 ** 2       # forces multiple chunks per epoch
+
+
+@pytest.fixture(scope='module')
+def P(tmp_path_factory):
+    d = tmp_path_factory.mktemp('bigmovie')
+    fx = write_fixture(str(d), T=10, H=256, W=512, n_axons=4, seed=5,
+                       n_channels=4)
+    P = get_default_parameters()
+    P.update(dict(
+        TIMELAPSE_FILE=fx['tif'], LABELS_FILE=fx['labels'],
+        MASK_FILE=fx['mask'],
+        TRAIN_TIMEPOINTS=list(range(2, 8)), TEST_TIMEPOINTS=[2, 3],
+        TILESIZE=256, BATCH_SIZE=4, CACHE=None, FROM_CACHE=None,
+        PLOT_PREPROC=False, SHUFFLE=False, LR=2e-3,
+        USE_TRANSFORMS=['translateY', 'translateX', 'hflip', 'vflip',
+                        'rot'],
+        ARCHITECTURE=[
+            [(3, 8, 2, 1), (3, 16, 2, 1), 'M', (3, 16, 1, 1), 'M'],
+            [('FC', 128), ('activation', 'sigmoid')],
+        ]))
+    return P
+
+
+def make_datasets(P, monkeypatch):
+    """(staged, device) Timelapse pair over identical data with an
+    identical PASSED scaler (so preproc constants match exactly)."""
+    probe, _ = engine.setup_data(dict(P, USE_TRANSFORMS=[]), skip_test=True)
+    assert not probe._u16_staged
+    P2 = dict(P, STANDARDIZE=probe.stnd_scaler)
+    ds_dev, _ = engine.setup_data(P2, skip_test=True)
+    with monkeypatch.context() as m:
+        m.setattr(Timelapse, '_DEVICE_MOVIE_BUDGET', SMALL_BUDGET)
+        ds_staged, _ = engine.setup_data(P2, skip_test=True)
+    assert ds_staged._u16_staged and not ds_dev._u16_staged
+    return ds_staged, ds_dev
+
+
+class TestStagedDataset:
+    def test_staged_matches_device_dataset(self, P, monkeypatch):
+        ds_staged, ds_dev = make_datasets(P, monkeypatch)
+        np.testing.assert_allclose(
+            ds_staged.stnd_scaler[1], ds_dev.stnd_scaler[1], rtol=1e-6)
+
+        # clean construct: same kept tiles, same targets, same tile values
+        ds_staged.construct_tiles(force_no_transformation=True)
+        ds_dev.construct_tiles(force_no_transformation=True)
+        np.testing.assert_array_equal(ds_staged._tile_flat_idx,
+                                      ds_dev._tile_flat_idx)
+        np.testing.assert_allclose(np.asarray(ds_staged.target_tiled),
+                                   np.asarray(ds_dev.target_tiled))
+        assert ds_staged.X_tiled is None        # nothing materialized
+        for t in (0, len(ds_dev.timepoints_indices) - 1):
+            Xs, tgts = ds_staged.get_frametiles_stack(t)
+            Xd, tgtd = ds_dev.get_frametiles_stack(t)
+            np.testing.assert_allclose(np.asarray(Xs), np.asarray(Xd),
+                                       atol=2e-5)
+            np.testing.assert_allclose(np.asarray(tgts), np.asarray(tgtd))
+
+    def test_staged_scaler_computed_matches(self, P, monkeypatch):
+        """Without a passed scaler the chunked stats reproduce the
+        whole-movie scaler."""
+        ds_dev, _ = engine.setup_data(P, skip_test=True)
+        with monkeypatch.context() as m:
+            m.setattr(Timelapse, '_DEVICE_MOVIE_BUDGET', SMALL_BUDGET)
+            ds_staged, _ = engine.setup_data(P, skip_test=True)
+        np.testing.assert_allclose(ds_staged.stnd_scaler[1],
+                                   ds_dev.stnd_scaler[1], rtol=1e-5)
+
+    def test_transformed_keep_set_matches(self, P, monkeypatch):
+        """The single-image keep-set trick equals the device path's keep
+        set for every drawn transform (same rng -> same draws)."""
+        ds_staged, ds_dev = make_datasets(P, monkeypatch)
+        for _ in range(4):
+            ds_staged.construct_tiles()
+            ds_dev.construct_tiles()
+            assert (ds_staged.last_transform_configs
+                    == ds_dev.last_transform_configs)
+            np.testing.assert_array_equal(ds_staged._tile_flat_idx,
+                                          ds_dev._tile_flat_idx)
+
+    def test_getitem_matches(self, P, monkeypatch):
+        ds_staged, ds_dev = make_datasets(P, monkeypatch)
+        ds_staged.construct_tiles(force_no_transformation=True)
+        ds_dev.construct_tiles(force_no_transformation=True)
+        assert len(ds_staged) == len(ds_dev)
+        for idx in (0, len(ds_dev) // 2, len(ds_dev) - 1):
+            Xs, ts_ = ds_staged[idx]
+            Xd, td = ds_dev[idx]
+            np.testing.assert_allclose(np.asarray(Xs), np.asarray(Xd),
+                                       atol=2e-5)
+            np.testing.assert_allclose(np.asarray(ts_), np.asarray(td))
+
+
+class TestChunkedEpoch:
+    def test_plan_covers_every_pair_once(self, P, monkeypatch):
+        ds_staged, _ = make_datasets(P, monkeypatch)
+        ds_staged.construct_tiles()
+        chunks, K = plan_chunks(ds_staged, P, shuffle=True,
+                                chunk_budget=CHUNK_BUDGET)
+        assert len(chunks) > 1                   # actually chunked
+        seen = np.concatenate([np.concatenate([c['batches'].ravel(),
+                                               c['rest']])
+                               for c in chunks])
+        want = np.arange(ds_staged.sizet * K)
+        np.testing.assert_array_equal(np.sort(seen), want)
+
+    @staticmethod
+    def _sgd_state(P):
+        """TrainState with plain SGD: unlike Adam (whose m/sqrt(v) step
+        amplifies last-ulp gradient differences into sign flips), SGD keeps
+        the parameter trajectories of two numerically-equivalent pipelines
+        within float noise — the right optimizer for an equality test."""
+        import optax
+        from axtrack_tpu.models.yolo import build_model, init_variables
+        model = build_model(P)
+        variables = init_variables(model, P, seed=P['SEED'])
+        tx = optax.inject_hyperparams(
+            lambda learning_rate: optax.sgd(learning_rate))(
+                learning_rate=P['LR'])
+        state = engine.TrainState(model, variables['params'],
+                                  variables.get('batch_stats', {}), tx,
+                                  tx.init(variables['params']), P)
+        state._steps = engine.make_train_step(model, tx, P)
+        return state
+
+    def test_chunked_epoch_equals_streaming_replay(self, P, monkeypatch):
+        """The chunk-resident epoch produces the same per-batch losses and
+        final parameters as the streaming loop fed the identical batch
+        plan on the in-memory dataset."""
+        ds_staged, ds_dev = make_datasets(P, monkeypatch)
+
+        state1 = self._sgd_state(P)
+        engine.prepare_data(ds_staged)           # draws the transform
+        chunks, K = plan_chunks(ds_staged, P, shuffle=False,
+                                chunk_budget=CHUNK_BUDGET)
+        assert len(chunks) > 1
+        el1 = run_epoch_chunked(state1, ds_staged, 'train', P,
+                                plan=(chunks, K))
+        assert ds_staged.X_tiled is None         # stayed chunk-resident
+
+        # replay: same transform draw (same rng), same plan, streaming path
+        engine.prepare_data(ds_dev)
+        assert (ds_dev.last_transform_configs
+                == ds_staged.last_transform_configs)
+        batch_list = []
+        for ch in chunks:
+            batch_list.extend(list(ch['batches']))
+            if len(ch['rest']):
+                batch_list.append(ch['rest'])
+        state2 = self._sgd_state(P)
+        el2 = engine.run_epoch(iter(batch_list), state2, state2._steps,
+                               ds_dev, 'train')
+
+        np.testing.assert_allclose(
+            np.asarray(el1.loc['total_summed_loss']),
+            np.asarray(el2.loc['total_summed_loss']), rtol=1e-4)
+        for a, b in zip(jax.tree.leaves(state1.params),
+                        jax.tree.leaves(state2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=3e-4)
+
+    def test_one_epoch_wiring(self, P, monkeypatch):
+        """engine.one_epoch routes staged datasets (train AND eval) through
+        the chunk-resident runner; nothing is materialized."""
+        monkeypatch.setenv('AXTRACK_CHUNK_BUDGET', str(CHUNK_BUDGET))
+        ds_staged, _ = make_datasets(P, monkeypatch)
+        state = engine.setup_model(P)
+        for train in (True, False):
+            el = engine.one_epoch(ds_staged, state, P, epoch=1, train=train,
+                                  min_pos_rate=0)
+            assert ds_staged.X_tiled is None
+            assert float(el['total_summed_loss']) > 0

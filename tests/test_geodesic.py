@@ -188,3 +188,69 @@ class TestRandomMasks:
         D = np.asarray(geodesic_pairwise(mask, srcs, tgts, max_dist=300,
                                          window=80, max_sweeps=40))
         np.testing.assert_array_equal(D, oracle_pairwise(mask, srcs, tgts, 300))
+
+
+class TestVmemBlocking:
+    """ADVICE r2 medium: window=1024 (selected by assign_ids whenever
+    MCF_vis_sim_weight != 0 -> d_eff=500 -> window rounds to 1024) must fit
+    VMEM: SRC_BLOCK shrinks with the window area."""
+
+    def test_src_block_fits_budget(self):
+        from axtrack_tpu.ops import geodesic_pallas as GP
+        for window in (64, 128, 256, 512, 1024, 2048):
+            blk = GP._src_block(window)
+            assert blk >= 1 and (blk & (blk - 1)) == 0
+            # crop + out + init blocks resident, worst case (continuation)
+            resident = 3 * blk * window * window * 4
+            assert resident <= GP._VMEM_BUDGET, (window, blk)
+        assert GP._src_block(512) == GP.SRC_BLOCK
+        assert GP._src_block(1024) == 4
+
+    def test_window_1024_interpret_parity(self):
+        """Numerics at the shrunken block size: window=1024 maps match the
+        oracle (interpret mode; real-chip compile is covered by
+        scripts/check_window1024.py on TPU)."""
+        from axtrack_tpu.ops.geodesic_pallas import batched_windows_probed
+        from axtrack_tpu.ops.geodesic import _gather_targets
+        import jax.numpy as jnp
+        rng = np.random.default_rng(7)
+        mask = np.ones((1024, 1024), bool)
+        mask[100:900, 500:510] = False       # wall with a gap
+        mask[495:505, 500:510] = True
+        srcs = np.array([[400, 300], [600, 700]], np.int32)
+        tgts = np.array([[400, 700], [600, 300], [410, 310]], np.int32)
+        m = jnp.asarray(mask)
+        dmaps, org, ok = batched_windows_probed(m, srcs, 1024, max_sweeps=4,
+                                                interpret=True)
+        assert dmaps.shape == (2, 1024, 1024)
+        assert bool(ok)
+        got = np.asarray(_gather_targets(dmaps, org, jnp.asarray(tgts),
+                                         jnp.float32(5000), 1024))
+        want = oracle_pairwise(mask, srcs, tgts, 5000)
+        np.testing.assert_array_equal(got, want)
+
+
+class TestCertificatePadding:
+    """ADVICE r2 low: pad sources sit at (0,0); a slow-converging mask
+    corner there must not veto the certificate when all REAL maps are
+    exact."""
+
+    def test_pad_entries_cannot_veto(self):
+        from axtrack_tpu.ops.geodesic_pallas import batched_windows_probed
+        import jax.numpy as jnp
+        # corner (0,0) region: serpentine (many direction reversals, needs
+        # many sweeps); real source sits in an open area far away
+        mask = np.ones((192, 192), bool)
+        mask[:64, :64] = False
+        for i, y in enumerate(range(2, 62, 8)):
+            mask[y:y + 4, 2:62] = True
+            if y + 8 < 62:
+                if i % 2 == 0:
+                    mask[y:y + 12, 58:62] = True
+                else:
+                    mask[y:y + 12, 2:6] = True
+        srcs = np.array([[150, 150]], np.int32)     # N=1, Np=SRC_BLOCK pads
+        m = jnp.asarray(mask)
+        _, _, ok = batched_windows_probed(m, srcs, 64, max_sweeps=2,
+                                          interpret=True)
+        assert bool(ok)          # open-area real map converges in 1 sweep
