@@ -259,6 +259,25 @@ class Timelapse:
         passed = standardize[1] if isinstance(standardize, (tuple, list)) \
             else None
 
+        # resident-u16 first: shipping the raw movie to HBM ONCE makes the
+        # stats pass below AND every later epoch slice device-local (the
+        # host tunnel here moves ~20MB/s — per-epoch shipping at reference
+        # scale would dwarf compute)
+        self._X_u16_dev = None
+        if frames.nbytes <= self._RESIDENT_U16_BUDGET:
+            try:
+                print(f'Shipping raw u16 movie to HBM once '
+                      f'({frames.nbytes/1e9:.1f} GB)...', end='',
+                      flush=True)
+                dev = jax.device_put(frames)
+                dev.block_until_ready()
+                self._X_u16_dev = dev
+                print('Done.', flush=True)
+            except Exception as e:
+                print(f'resident u16 failed ({type(e).__name__}); '
+                      'streaming.', flush=True)
+                self._X_u16_dev = None
+
         # one chunked device pass: per-frame nonzero stats + tile table
         chunk = max(1, int(self._DEVICE_MOVIE_BUDGET
                            // (6 * frames[0].nbytes)))
@@ -267,8 +286,12 @@ class Timelapse:
         print(f'Staged preprocessing ({len(frames)} frames, '
               f'chunks of {chunk})...', end='', flush=True)
         for t0 in range(0, len(frames), chunk):
+            if self._X_u16_dev is not None:
+                u16c = self._X_u16_dev[t0:t0 + chunk]
+            else:
+                u16c = jnp.asarray(frames[t0:t0 + chunk])
             x = staged_preprocess_u16(
-                jnp.asarray(frames[t0:t0 + chunk]), self._stage_offset,
+                u16c, self._stage_offset,
                 lower, 1.0, log_correct=bool(log_correct))
             m, s, mx = nonzero_stats(x)
             means.append(np.asarray(m))
@@ -377,12 +400,24 @@ class Timelapse:
             self.n_motion_seq = self.n_motion_seq[all_tps]
         if getattr(self, '_nonempty_table', None) is not None:
             self._nonempty_table = self._nonempty_table[all_tps]
+        if getattr(self, '_X_u16_dev', None) is not None:
+            # keep the resident device copy in step with the host slice; a
+            # full gather would transiently double HBM, so only identity /
+            # contiguous-range slices keep residency
+            n = self._X_u16_dev.shape[0]
+            if all_tps == list(range(n)):
+                pass
+            elif all_tps == list(range(all_tps[0], all_tps[-1] + 1)):
+                self._X_u16_dev = self._X_u16_dev[all_tps[0]:
+                                                  all_tps[-1] + 1]
+            else:
+                self._X_u16_dev = None
         target = self.target.iloc[all_tps]
         return timepoints_indices, len(tps), target, frames
 
     # ------------------------------------------------------------ caching
     _CACHE_SKIP = ('_rng', '_X_dev', '_pmotion_dev', '_nmotion_dev',
-                   '_padded_mask_dev')
+                   '_padded_mask_dev', '_X_u16_dev')
 
     def _save_cache(self, cache):
         with open(f'{cache}/{self.name}_dataset_cached.pkl', 'wb') as file:
@@ -433,7 +468,10 @@ class Timelapse:
         s = self._stage
         pix = getattr(self, '_u16_pixmax', None)
         if pix is None:
-            pix = self._u16_pixmax = np.asarray(self.X).max(axis=0)
+            dev = getattr(self, '_X_u16_dev', None)
+            pix = (np.asarray(dev.max(axis=0)) if dev is not None
+                   else np.asarray(self.X).max(axis=0))
+            self._u16_pixmax = pix
         ind = (staged_preprocess_u16(
             jnp.asarray(pix)[None], s['offset'], s['lower'], 1.0,
             log_correct=s['log']) > 0).astype(jnp.float32)
@@ -442,9 +480,46 @@ class Timelapse:
         tiles = TL.tile_frames(ind[0], self.tilesize)
         return np.asarray((tiles > 0).any(axis=(2, 3)))
 
+    # raw-u16 movies up to this size live RESIDENT in HBM (u16 halves the
+    # footprint vs f32: the reference's 24GB deployed-scale movie is
+    # ~12GB raw, inside one v5e's 16GB) — after a one-time ship, epochs
+    # touch the host for nothing but the batch plan. Beyond it, chunks
+    # stream per epoch.
+    _RESIDENT_U16_BUDGET = int(os.environ.get(
+        'AXTRACK_RESIDENT_U16_BUDGET', 13_800_000_000))
+
+    def ensure_resident_u16(self):
+        """Ship the staged raw-u16 movie to HBM once (resident mode).
+        Returns True when resident. Falls back to host staging on OOM or
+        when the movie exceeds the resident budget."""
+        if not self._u16_staged:
+            return False
+        if getattr(self, '_X_u16_dev', None) is not None:
+            return True
+        if self.X.nbytes > self._RESIDENT_U16_BUDGET:
+            return False
+        try:
+            print(f'Shipping raw u16 movie to HBM once '
+                  f'({self.X.nbytes/1e9:.1f} GB)...', end='', flush=True)
+            dev = jax.device_put(self.X)
+            dev.block_until_ready()
+            self._X_u16_dev = dev
+            print('Done.', flush=True)
+            return True
+        except Exception as e:          # HBM pressure: stream instead
+            print(f'resident u16 failed ({type(e).__name__}); streaming.',
+                  flush=True)
+            self._X_u16_dev = None
+            return False
+
     def staged_chunk(self, lo, hi):
-        """Raw uint16 frames [lo:hi) as a device array (staged mode) —
-        the per-chunk host->device ship of the chunk-resident epoch."""
+        """Raw uint16 frames [lo:hi) as a device array (staged mode).
+        Resident mode slices HBM directly (no host traffic); otherwise
+        this is the per-chunk host->device ship of the chunk-resident
+        epoch."""
+        dev = getattr(self, '_X_u16_dev', None)
+        if dev is not None:
+            return dev[lo:hi]
         return jnp.asarray(np.ascontiguousarray(self.X[lo:hi]))
 
     def materialize_tiles(self):

@@ -137,15 +137,29 @@ def prepare_input_data(imseq_fname, parameters, dest_dir, inference_data_dir,
 
 
 def inference(timelapse, model, dest_dir, parameters, detections_cache='to',
-              astar_paths_cache='to', assigedIDs_cache='to'):
+              astar_paths_cache='to', assigedIDs_cache='to',
+              shard_frames=False, mesh=None):
     """Detect growth cones and associate identities
     (reference interface.py:170-215). Final product:
-    ``axon_detections.IDed_dets_all``."""
+    ``axon_detections.IDed_dets_all``.
+
+    shard_frames=True routes detection + geodesic distances through the
+    long-movie sequence-parallel pipeline (parallel/longmovie.py): the
+    movie's frame axis is sharded over the mesh 'data' chips with ppermute
+    halo exchange for the temporal context — use it when a multi-chip mesh
+    is available and the movie is long. Results match the single-chip path
+    (equality-tested on an 8-device mesh); stage caches don't apply to the
+    sharded route. ``mesh`` defaults to a data-only mesh over all devices.
+    """
     dets_dest_dir = f'{dest_dir}/axon_dets'
     axon_detections = AxonDetections(model, timelapse, parameters,
                                      dets_dest_dir)
-    axon_detections.detect_dataset(cache=detections_cache)
-    axon_detections.assign_ids(astar_paths_cache, assigedIDs_cache)
+    if shard_frames:
+        axon_detections.detect_and_associate_sharded(mesh=mesh)
+        axon_detections.assign_ids('precomputed', assigedIDs_cache)
+    else:
+        axon_detections.detect_dataset(cache=detections_cache)
+        axon_detections.assign_ids(astar_paths_cache, assigedIDs_cache)
     return axon_detections
 
 

@@ -31,7 +31,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map
+except ImportError:      # older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..ops import preproc as PP
 from ..ops import tiling as TL
@@ -51,7 +54,7 @@ def _left_perm(n):
 
 def build_sharded_detector(mesh, model, variables, params, n_frames,
                            flat_idx, tile_yx, max_dets=64, conf_thr=0.55,
-                           var_scalar=None):
+                           var_scalar=None, preprocessed=False):
     """Jitted single-movie detector with the FRAME axis sharded over 'data'.
 
     Args:
@@ -59,12 +62,16 @@ def build_sharded_detector(mesh, model, variables, params, n_frames,
       flat_idx, tile_yx: kept-tile index table (ops.tiling.tile_index_table).
       var_scalar: standardization divisor (train scaler). None -> movie
         stats via psum.
+      preprocessed: frames are ALREADY preprocessed float32 (a Timelapse's
+        X) — skip normalize/clip/log/standardize so the sharded path is
+        numerically identical to the single-chip production path
+        (interface.inference(shard_frames=True) route).
 
     Returns fn(frames_u16 [n_frames, H, W], ctx_lead [tc, H, W],
     ctx_trail [tc, H, W], mask [H, W]) -> (conf, x, y, alive), each
     [n_frames, max_dets]. frames are the CENTER frames; ctx_lead/trail are
     the movie's leading/trailing temporal-context frames (uint16 like
-    frames, replicated — tc frames each).
+    frames — or f32 when ``preprocessed`` — replicated, tc frames each).
     """
     ts = params['TILESIZE']
     tc = params['TEMPORAL_CONTEXT']
@@ -73,15 +80,26 @@ def build_sharded_detector(mesh, model, variables, params, n_frames,
     n_dev = mesh.shape['data']
     assert n_frames % n_dev == 0, (n_frames, n_dev)
     T_loc = n_frames // n_dev
+    # the single-hop ppermute halo ships tc frames from each neighbor; a
+    # chip must own at least tc frames or the halo (and the context
+    # dynamic_slice) silently under-fills — pad the movie so T_loc >= tc
+    # (detections.detect_and_associate_sharded does)
+    assert T_loc >= tc, (
+        f'frames-per-chip {T_loc} < temporal context {tc}: pad the frame '
+        f'count so each chip owns >= tc frames')
     flat_idx = jnp.asarray(flat_idx)
     tyx = jnp.asarray(tile_yx)
 
     def body(fr_loc_u16, ctx_lead, ctx_trail, m):
         # fr_loc_u16: [T_loc, H, W] this chip's center frames
         idx = jax.lax.axis_index('data')
-        x = fr_loc_u16.astype(jnp.float32) / 65535.0
-        lead = ctx_lead.astype(jnp.float32) / 65535.0
-        trail = ctx_trail.astype(jnp.float32) / 65535.0
+        if preprocessed:
+            x = fr_loc_u16
+            lead, trail = ctx_lead, ctx_trail
+        else:
+            x = fr_loc_u16.astype(jnp.float32) / 65535.0
+            lead = ctx_lead.astype(jnp.float32) / 65535.0
+            trail = ctx_trail.astype(jnp.float32) / 65535.0
 
         # halo exchange: last tc frames -> right neighbor, first tc -> left
         from_left = jax.lax.ppermute(x[-tc:], 'data', _right_perm(n_dev))
@@ -90,20 +108,23 @@ def build_sharded_detector(mesh, model, variables, params, n_frames,
         right = jnp.where(idx == n_dev - 1, trail, from_right)
         block = jnp.concatenate([left, x, right], axis=0)  # [T_loc+2tc,H,W]
 
-        if var_scalar is not None:
-            vs = jnp.float32(var_scalar)
+        if preprocessed:
+            proc = block
         else:
-            # movie-global mean of per-frame nonzero stds, each frame
-            # counted once: own block + edge context on the edge chips
-            _, std_own, _ = PP.nonzero_stats(x)
-            _, std_lead, _ = PP.nonzero_stats(lead)
-            _, std_trail, _ = PP.nonzero_stats(trail)
-            part = (std_own.sum()
-                    + jnp.where(idx == 0, std_lead.sum(), 0.0)
-                    + jnp.where(idx == n_dev - 1, std_trail.sum(), 0.0))
-            vs = jax.lax.psum(part, 'data') / (n_frames + 2 * tc)
+            if var_scalar is not None:
+                vs = jnp.float32(var_scalar)
+            else:
+                # movie-global mean of per-frame nonzero stds, each frame
+                # counted once: own block + edge context on the edge chips
+                _, std_own, _ = PP.nonzero_stats(x)
+                _, std_lead, _ = PP.nonzero_stats(lead)
+                _, std_trail, _ = PP.nonzero_stats(trail)
+                part = (std_own.sum()
+                        + jnp.where(idx == 0, std_lead.sum(), 0.0)
+                        + jnp.where(idx == n_dev - 1, std_trail.sum(), 0.0))
+                vs = jax.lax.psum(part, 'data') / (n_frames + 2 * tc)
 
-        proc = PP.preprocess_frames(block, m, 0.0, clip, vs)
+            proc = PP.preprocess_frames(block, m, 0.0, clip, vs)
         tiles = TL.tile_frames(proc, ts)
         T_all, ny, nx = tiles.shape[:3]
         flat_tiles = tiles.reshape(T_all, ny * nx, ts, ts)[:, flat_idx]
@@ -219,28 +240,38 @@ def pad_mask_for_windows(mask, window):
 
 def long_movie_pipeline(mesh, model, variables, params, frames_u16, mask,
                         max_dets=64, window=512, max_sweeps=8,
-                        var_scalar=None, interpret=False, backend=None):
+                        var_scalar=None, interpret=False, backend=None,
+                        flat_idx=None, tile_yx=None, conf_thr=0.55,
+                        preprocessed=False):
     """End-to-end sharded detect + associate for one long movie.
 
     frames_u16: uint16 [T_total, H, W] INCLUDING tc leading/trailing
-    context frames (T_total = n_frames + 2*tc). Returns
+    context frames (T_total = n_frames + 2*tc) — or preprocessed f32
+    frames with ``preprocessed=True`` (the interface.inference
+    shard_frames route). Returns
     (frame_dets list of dicts, astar_dists {(t, gap): [n_s, n_t]}, ok)
     in the host format detections.py/track.tracker consume.
+
+    flat_idx/tile_yx: kept-tile table; None derives it from the mask
+    (pass the dataset's content-based table for production parity).
     """
     tc = params['TEMPORAL_CONTEXT']
     ts = params['TILESIZE']
     n_frames = frames_u16.shape[0] - 2 * tc
     H, W = frames_u16.shape[1:]
-    ny, nx = TL.n_tiles(H, ts), TL.n_tiles(W, ts)
-    mpad = np.zeros((ny * ts, nx * ts), bool)
-    mpad[:H, :W] = np.asarray(mask)
-    keep = mpad.reshape(ny, ts, nx, ts).any((1, 3))
-    flat_idx, tyx = TL.tile_index_table(keep)
+    if flat_idx is None:
+        ny, nx = TL.n_tiles(H, ts), TL.n_tiles(W, ts)
+        mpad = np.zeros((ny * ts, nx * ts), bool)
+        mpad[:H, :W] = np.asarray(mask)
+        keep = mpad.reshape(ny, ts, nx, ts).any((1, 3))
+        flat_idx, tile_yx = TL.tile_index_table(keep)
+    tyx = tile_yx
 
     detect = build_sharded_detector(mesh, model, variables, params,
                                     n_frames, flat_idx, tyx,
-                                    max_dets=max_dets,
-                                    var_scalar=var_scalar)
+                                    max_dets=max_dets, conf_thr=conf_thr,
+                                    var_scalar=var_scalar,
+                                    preprocessed=preprocessed)
     assoc = build_sharded_assoc(mesh, n_frames, window=window,
                                 max_dets=max_dets, max_sweeps=max_sweeps,
                                 interpret=interpret, backend=backend)

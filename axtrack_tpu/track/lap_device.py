@@ -110,6 +110,96 @@ def auction_lap(cost, row_valid, col_valid, eps=1e-3, n_iters=4000,
     return assigns[-1]
 
 
+@partial(jax.jit, static_argnames=('max_gap',))
+def track_scan(obs, valid, dist, max_gap, miss_rate, edge_thr,
+               entry_exit_cost, max_px):
+    """Whole-movie online tracking as ONE lax.scan over frames — zero
+    per-frame host dispatches (VERDICT r2 item 6: the per-frame auction
+    loop paid ~50ms tunnel dispatch per frame).
+
+    Args:
+      obs: f32[T, D] observation costs (costs.observation_costs of the
+        capped confidences; BIG for padding).
+      valid: bool[T, D].
+      dist: f32[T, G, D, D]; dist[t, g-1, i, j] = geodesic distance from
+        det i of frame t-g to det j of frame t (max_px = unreachable /
+        padding; frames with t-g < 0 all max_px).
+      max_gap: G = MCF_MAX_NUM_MISSES + 1 (static).
+
+    Returns i32[T, D]: trajectory id per detection (-1 for invalid dets).
+    Ids are assigned in discovery order (frame-major, detection order
+    within a frame) — identical to the sequential host tracker.
+
+    State per track SLOT (S = D*(G+2) slots; a slot frees once its gap
+    exceeds G): last seen frame, last detection index, trajectory id. Per
+    frame, active slots bid for detections via the epsilon-scaled auction
+    (auction_lap, traced inline) with the reference transition costs; a
+    slot only beats the "open a new track" price 2*entry_exit + obs.
+    """
+    T, D = obs.shape
+    G = max_gap
+    S = D * (G + 2)
+    nolog = jnp.float32(1e-6)
+
+    def step(carry, inp):
+        last_frame, last_det, traj, next_id = carry
+        t, obs_t, valid_t, dist_t = inp                # dist_t [G, D, D]
+        gap = t - last_frame                           # [S]
+        active = (gap >= 1) & (gap <= G)
+        g_idx = jnp.clip(gap - 1, 0, G - 1)
+        ld = jnp.clip(last_det, 0, D - 1)
+        rowD = dist_t[g_idx, ld]                       # [S, D]
+        closeness = (1.0 - rowD / max_px)
+        reachable = closeness > 0
+        tc = -jnp.log(closeness * (miss_rate ** (gap[:, None] - 1).astype(
+            jnp.float32)) + nolog)
+        row = tc + obs_t[None, :]
+        ok = (reachable & (tc <= edge_thr) & active[:, None]
+              & valid_t[None, :])
+        row = jnp.where(ok, row, BIG)
+        new_cost = 2.0 * entry_exit_cost + obs_t
+        row = jnp.where(row >= new_cost[None, :], BIG, row)
+
+        assign = auction_lap(row, active, valid_t)     # i32[S]
+        won = assign >= 0
+        last_frame = jnp.where(won, t, last_frame)
+        last_det = jnp.where(won, assign, last_det)
+
+        det_slot = jnp.full(D, -1, jnp.int32).at[
+            jnp.where(won, assign, D)].set(jnp.arange(S, dtype=jnp.int32),
+                                           mode='drop')
+        matched = det_slot >= 0
+
+        # open new tracks on free slots for unmatched valid dets
+        free = last_frame < (t - G)
+        free_rank = jnp.cumsum(free) - 1
+        pos_of_rank = jnp.full(S, S, jnp.int32).at[
+            jnp.where(free, free_rank, S)].set(
+                jnp.arange(S, dtype=jnp.int32), mode='drop')
+        um = valid_t & ~matched
+        um_rank = jnp.cumsum(um) - 1                   # [D]
+        slot_j = jnp.where(um, pos_of_rank[jnp.clip(um_rank, 0, S - 1)], S)
+        last_frame = last_frame.at[slot_j].set(t, mode='drop')
+        last_det = last_det.at[slot_j].set(jnp.arange(D, dtype=jnp.int32),
+                                           mode='drop')
+        new_ids = (next_id + um_rank).astype(jnp.int32)
+        traj = traj.at[slot_j].set(new_ids, mode='drop')
+        next_id = next_id + um.sum(dtype=jnp.int32)
+
+        out = jnp.where(matched, traj[jnp.clip(det_slot, 0, S - 1)],
+                        jnp.where(um, new_ids, -1))
+        return (last_frame, last_det, traj, next_id), out
+
+    carry0 = (jnp.full(S, -(10 ** 6), jnp.int32),      # last_frame
+              jnp.zeros(S, jnp.int32),                 # last_det
+              jnp.full(S, -1, jnp.int32),              # traj id
+              jnp.int32(0))
+    ts = jnp.arange(T, dtype=jnp.int32)
+    (_, _, _, _), det_traj = jax.lax.scan(step, carry0,
+                                          (ts, obs, valid, dist))
+    return det_traj
+
+
 class OnlineTracker:
     """Greedy online identity tracker on the device LAP.
 
@@ -118,7 +208,11 @@ class OnlineTracker:
     the reference's transition model plus per-detection "new track"
     columns priced at entry+exit+observation cost. Not globally optimal
     like the MCF (a track can't be retroactively re-linked), but runs
-    entirely on device per frame and scales to high detection counts.
+    entirely on device and scales to high detection counts.
+
+    ``track`` runs the whole movie as ONE jitted lax.scan (track_scan);
+    ``track_host`` is the sequential per-frame reference loop it is
+    parity-tested against.
     """
 
     def __init__(self, params):
@@ -127,7 +221,54 @@ class OnlineTracker:
 
     def track(self, frame_dets, astar_dists):
         """Same inputs/outputs as tracker.assign_identities (trajectories
-        as lists of (frame, det_idx))."""
+        as lists of (frame, det_idx)) — one device dispatch for the whole
+        movie."""
+        P = self.P
+        T = len(frame_dets)
+        if T == 0:
+            return []
+        G = P['MCF_MAX_NUM_MISSES'] + 1
+        counts = [len(fd['conf']) for fd in frame_dets]
+        D = 8
+        while D < max(counts + [1]):
+            D *= 2
+        all_conf = np.concatenate([fd['conf'] for fd in frame_dets]) \
+            if sum(counts) else np.zeros(0)
+        capped = C.cap_confidences(all_conf, P['MCF_CONF_CAPPING_METHOD'])
+        obs_all = C.observation_costs(capped, P['MCF_MAX_CONF_COST'])
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(int)
+
+        obs = np.full((T, D), BIG, np.float32)
+        valid = np.zeros((T, D), bool)
+        for t in range(T):
+            obs[t, :counts[t]] = obs_all[offsets[t]:offsets[t + 1]]
+            valid[t, :counts[t]] = True
+        dist = np.full((T, G, D, D), self.max_px, np.float32)
+        for (t, g), Dmat in astar_dists.items():
+            s = t - g
+            if 0 <= s < T and t < T and g <= G \
+                    and Dmat.shape == (counts[s], counts[t]):
+                dist[t, g - 1, :counts[s], :counts[t]] = Dmat
+
+        det_traj = np.asarray(track_scan(
+            jnp.asarray(obs), jnp.asarray(valid), jnp.asarray(dist), G,
+            jnp.float32(P['MCF_MISS_RATE']),
+            jnp.float32(P['MCF_EDGE_COST_THR']),
+            jnp.float32(P['MCF_ENTRY_EXIT_COST']),
+            jnp.float32(self.max_px)))
+
+        n_traj = int(det_traj.max()) + 1 if det_traj.size else 0
+        trajectories = [[] for _ in range(n_traj)]
+        for t in range(T):
+            for j in range(counts[t]):
+                tid = int(det_traj[t, j])
+                if tid >= 0:
+                    trajectories[tid].append((t, j))
+        return trajectories
+
+    def track_host(self, frame_dets, astar_dists):
+        """Sequential per-frame reference loop (one auction dispatch per
+        frame) — kept as the parity oracle for track_scan."""
         P = self.P
         max_gap = P['MCF_MAX_NUM_MISSES'] + 1
         all_conf = np.concatenate([fd['conf'] for fd in frame_dets]) \

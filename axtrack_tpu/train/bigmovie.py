@@ -60,6 +60,13 @@ def plan_chunks(dataset, P, shuffle=None, chunk_budget=None):
     per_frame = K * ts * ts * 4 + H * W * 10
     budget = int(chunk_budget or os.environ.get('AXTRACK_CHUNK_BUDGET',
                                                 2_500_000_000))
+    resident = getattr(dataset, '_X_u16_dev', None)
+    if resident is not None and resident.nbytes > 1_000_000_000:
+        # the resident raw movie shares HBM with the chunk working set:
+        # leave room (v5e: 16GB; ~1.2GB model/opt/grads/transients)
+        budget = max(300_000_000,
+                     min(budget, 15_200_000_000 - resident.nbytes
+                         - 1_200_000_000))
     C_t = max(1, min(T, budget // per_frame))
     bs = P['BATCH_SIZE']
     if shuffle is None:
@@ -101,13 +108,17 @@ def _get_chunk_prog(state, dataset, P, which_dataset):
     log_correct = s['log']
     ts = dataset.tilesize
     nyx = dataset.ytiles * dataset.xtiles
-    K = dataset.ntiles_kept
     tc = dataset.temporal_context
-    flat_idx = jnp.asarray(dataset._tile_flat_idx)
 
     @jax.jit
-    def run_chunk(params, batch_stats, opt_state, u16, dy, dx, fy, fx,
-                  angle, t0, centers, targets_chunk, idx_batches):
+    def run_chunk(params, batch_stats, opt_state, u16, flat_idx, dy, dx,
+                  fy, fx, angle, t0, centers, targets_chunk, idx_batches):
+        # flat_idx (the epoch's kept-tile table) is an ARGUMENT, not a
+        # closure constant: augmentation redraws change the keep set per
+        # epoch, and a baked first-epoch table would silently train the
+        # wrong tiles. Its length K keys the jit cache (a handful of
+        # distinct K values over a run -> a handful of compiles).
+        K = flat_idx.shape[0]
         # normalize + preproc (exact staged_preprocess_u16 math, traced
         # here so XLA fuses it with the transform)
         x = u16.astype(jnp.float32) / jnp.float32(65535.0)
@@ -155,11 +166,17 @@ def run_epoch_chunked(state, dataset, which_dataset, P, plan=None):
     """
     assert dataset._chunk_epoch is not None, \
         'construct_tiles() has not prepared a chunked epoch'
+    # resident-u16 fast path: the raw movie ships to HBM once (first call)
+    # and every chunk below slices it on-device — zero per-epoch host
+    # traffic (the tunnel moves ~20MB/s here; reference-scale movies are
+    # ~12GB raw)
+    dataset.ensure_resident_u16()
     ce = dataset._chunk_epoch
     chunks, K = plan if plan is not None else plan_chunks(dataset, P)
     prog = _get_chunk_prog(state, dataset, P, which_dataset)
     tp = np.asarray(dataset.timepoints_indices)
     targets_all = jnp.asarray(dataset.target_tiled)
+    flat_idx = jnp.asarray(dataset._tile_flat_idx)
     tparams = (np.int32(ce['dy']), np.int32(ce['dx']),
                np.bool_(ce['flip_y']), np.bool_(ce['flip_x']),
                np.float32(ce['angle']))
@@ -179,7 +196,7 @@ def run_epoch_chunked(state, dataset, which_dataset, P, plan=None):
         for idx_batches in batch_sets:
             (state.params, state.batch_stats, state.opt_state,
              comps) = prog(state.params, state.batch_stats,
-                           state.opt_state, u16, *tparams,
+                           state.opt_state, u16, flat_idx, *tparams,
                            np.int32(ch['t0']), centers, targets_chunk,
                            jnp.asarray(idx_batches))
             chunk_comps.append((idx_batches.shape[0], comps))

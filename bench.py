@@ -368,14 +368,35 @@ def main():
     elapsed, stages, n_tracks = best
     fps = n_frames / elapsed
 
-    # CPU reference baseline
-    log('cpu baseline...')
-    cpu_elapsed, cpu_stages = cpu_reference_pipeline(
-        frames, mask, P, n_frames=min(n_frames, 3))
-    cpu_per_frame = cpu_elapsed / min(n_frames, 3)
-    log(f'cpu preproc+astar: {cpu_per_frame:.2f}s/frame; cpu cnn...')
-    cpu_per_frame += cpu_cnn_time_per_frame(P)
-    cpu_fps = 1.0 / cpu_per_frame
+    # CPU reference baseline: PINNED in BASELINE.json (VERDICT r2 weak #6:
+    # re-measuring the denominator every run made the headline multiplier
+    # drift 126x/179x/311x across rounds). vs_baseline derives from the
+    # pinned measurement; set BENCH_REMEASURE_BASELINE=1 to re-measure and
+    # print the fresh number alongside (it does NOT replace the pin).
+    baseline_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 'BASELINE.json')
+    cpu_fps = None
+    try:
+        with open(baseline_file) as f:
+            pinned = json.load(f).get('pinned_cpu_baseline')
+        if pinned:
+            cpu_fps = float(pinned['fps'])
+            log(f'pinned cpu baseline: {cpu_fps:.3f} fps '
+                f'({pinned.get("measured", "?")})')
+    except (OSError, ValueError, KeyError):
+        pass
+    if cpu_fps is None or os.environ.get('BENCH_REMEASURE_BASELINE') == '1':
+        log('cpu baseline (measuring)...')
+        cpu_elapsed, cpu_stages = cpu_reference_pipeline(
+            frames, mask, P, n_frames=min(n_frames, 3))
+        cpu_per_frame = cpu_elapsed / min(n_frames, 3)
+        log(f'cpu preproc+astar: {cpu_per_frame:.2f}s/frame; cpu cnn...')
+        cpu_per_frame += cpu_cnn_time_per_frame(P)
+        measured_fps = 1.0 / cpu_per_frame
+        log(f'measured cpu baseline this run: {measured_fps:.3f} fps '
+            f'{cpu_stages}')
+        if cpu_fps is None:
+            cpu_fps = measured_fps
 
     result = {
         'metric': 'e2e_inference_frames_per_sec',
@@ -385,7 +406,7 @@ def main():
     }
     print(json.dumps(result))
     print(f'# stages (s): {stages}; tracks={n_tracks}; '
-          f'cpu_baseline={cpu_fps:.3f} fps {cpu_stages}', file=sys.stderr)
+          f'cpu_baseline={cpu_fps:.3f} fps', file=sys.stderr)
 
 
 if __name__ == '__main__':

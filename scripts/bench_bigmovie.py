@@ -33,8 +33,14 @@ import jax
 jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
 
 
-H, W = 2920, 6364          # reference frame geometry (params.txt:59 pre-pad)
-PAD = (0, 300, 0, 300)     # reference PAD (exp_parameters.py:31)
+H, W = 2920, 6364          # reference frame geometry (params.txt:59):
+#                            323 frames x 2920 x 6364 f32 = the ~24GB
+#                            deployed-scale movie; ~12GB as raw u16 —
+#                            inside one v5e's HBM, which is exactly what
+#                            the resident-u16 mode exploits. PAD left off
+#                            so the resident array fits beside the chunk
+#                            working set (same tile-grid math either way).
+PAD = None
 
 
 def synth_u16_movie(T, H, W, n_axons=40, seed=0):
@@ -146,7 +152,8 @@ def main():
     K = ds.ntiles_kept
     steps = (ds.sizet * K) // P['BATCH_SIZE']
     best = min(epoch_times[1:]) if len(epoch_times) > 1 else epoch_times[0]
-    print(f'\nRESULT: movie {T}x{H}x{W + PAD[1] + PAD[3]} '
+    pw = (PAD[1] + PAD[3]) if PAD else 0
+    print(f"\nRESULT: movie {T}x{H}x{W + pw} "
           f'({movie.nbytes/1e9:.1f} GB u16 / '
           f'{movie.nbytes*2/1e9:.1f} GB as f32), K={K} kept tiles, '
           f'{steps} steps/epoch')

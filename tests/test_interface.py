@@ -108,3 +108,49 @@ class TestInterface:
         path, dist = axtrack_tpu._compute_astar_path((5, 5), (5, 15), wts)
         assert dist == 11
         assert path.getnnz() == 11
+
+
+class TestShardFrames:
+    def test_sharded_inference_equals_single_chip(self, deployed,
+                                                  inference_fixture,
+                                                  tmp_path_factory):
+        """inference(shard_frames=True) — the long-movie sequence-parallel
+        route (VERDICT r2 item 9) — produces the same detections, geodesic
+        distances, and identities as the single-chip path on the 8-device
+        CPU mesh."""
+        data_dir, fx = inference_fixture
+        dest = str(tmp_path_factory.mktemp('out_shard'))
+        parameters, model, stnd_scaler = axtrack_tpu.setup_inference(
+            dest, deployed_dir=deployed)
+        timelapse = axtrack_tpu.prepare_input_data(
+            'movie.tif', parameters, dest, data_dir, stnd_scaler,
+            mask_fname='movie_mask.npy', use_cached_datasets=None,
+            check_preproc=False, input_metadata={'name': 'movie'})
+
+        ref = axtrack_tpu.inference(
+            timelapse, model, dest, parameters, detections_cache=None,
+            astar_paths_cache=None, assigedIDs_cache=None)
+        shr = axtrack_tpu.inference(
+            timelapse, model, dest + '/sharded', parameters,
+            assigedIDs_cache=None, shard_frames=True)
+
+        assert len(ref._detections) == len(shr._detections)
+        for t, (a, b) in enumerate(zip(ref._detections, shr._detections)):
+            assert len(a) == len(b), (t, a, b)
+            np.testing.assert_array_equal(a['anchor_x'].values,
+                                          b['anchor_x'].values)
+            np.testing.assert_array_equal(a['anchor_y'].values,
+                                          b['anchor_y'].values)
+            np.testing.assert_allclose(a['conf'].values, b['conf'].values,
+                                       atol=1e-5)
+        assert set(ref.astar_dists) == set(shr.astar_dists)
+        for k in ref.astar_dists:
+            np.testing.assert_allclose(ref.astar_dists[k],
+                                       shr.astar_dists[k], atol=1e-4)
+        # identical identities end-to-end
+        a, b = ref.IDed_dets_all, shr.IDed_dets_all
+        assert a.shape == b.shape
+        ax = a.loc[:, (slice(None), ['anchor_x', 'anchor_y'])]
+        bx = b.loc[:, (slice(None), ['anchor_x', 'anchor_y'])]
+        np.testing.assert_array_equal(ax.fillna(-1).values,
+                                      bx.fillna(-1).values)

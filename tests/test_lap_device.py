@@ -82,3 +82,45 @@ class TestOnlineTracker:
         trk = OnlineTracker(self._params())
         trajs = trk.track(frames, dists)
         assert [tr for tr in trajs if [t for t, _ in tr] == [0, 2]]
+
+
+class TestScanTracker:
+    """The whole-movie lax.scan tracker (track_scan) equals the
+    sequential per-frame host loop (track_host) — VERDICT r2 item 6."""
+
+    def _params(self):
+        return dict(MCF_EDGE_COST_THR=0.7, MCF_ENTRY_EXIT_COST=2,
+                    MCF_MISS_RATE=0.6, MCF_MAX_NUM_MISSES=1,
+                    MCF_MAX_CONF_COST=4.6,
+                    MCF_CONF_CAPPING_METHOD='scale_to_max')
+
+    @pytest.mark.parametrize('seed', [0, 1, 2, 3])
+    def test_scan_equals_host_loop(self, seed):
+        rng = np.random.default_rng(seed)
+        T = 6
+        counts = rng.integers(0, 6, T)
+        frames = []
+        for t in range(T):
+            n = int(counts[t])
+            frames.append({
+                'conf': (0.6 + 0.4 * rng.random(n)).astype(np.float32),
+                'x': rng.integers(0, 400, n).astype(np.int32),
+                'y': rng.integers(0, 400, n).astype(np.int32)})
+        dists = {}
+        for t in range(1, T):
+            for g in (1, 2):
+                s = t - g
+                if s < 0:
+                    continue
+                ns, nt = int(counts[s]), int(counts[t])
+                D = rng.integers(5, 1000, (ns, nt)).astype(np.float32)
+                D[D > 400] = 500.0          # unreachable beyond the cap
+                dists[(t, g)] = D
+        trk = OnlineTracker(self._params())
+        scan = trk.track(frames, dists)
+        host = trk.track_host(frames, dists)
+        assert scan == host
+
+    def test_empty_movie(self):
+        trk = OnlineTracker(self._params())
+        assert trk.track([], {}) == []
