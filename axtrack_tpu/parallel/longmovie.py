@@ -32,9 +32,19 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 try:
-    from jax import shard_map
+    from jax import shard_map as _shard_map
 except ImportError:      # older jax
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+
+def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+    """Version-compat wrapper: jax>=0.8 renamed check_rep -> check_vma
+    (and the jax.experimental alias kept the old name)."""
+    import inspect
+    params = inspect.signature(_shard_map).parameters
+    kw = {'check_vma' if 'check_vma' in params else 'check_rep': check_rep}
+    return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                      out_specs=out_specs, **kw)
 
 from ..ops import preproc as PP
 from ..ops import tiling as TL
