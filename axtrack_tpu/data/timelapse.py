@@ -278,9 +278,15 @@ class Timelapse:
                       'streaming.', flush=True)
                 self._X_u16_dev = None
 
-        # one chunked device pass: per-frame nonzero stats + tile table
-        chunk = max(1, int(self._DEVICE_MOVIE_BUDGET
-                           // (6 * frames[0].nbytes)))
+        # one chunked device pass: per-frame nonzero stats + tile table.
+        # With the movie resident, the chunk working set shares HBM with
+        # it — budget accordingly (v5e: 16GB)
+        budget = self._DEVICE_MOVIE_BUDGET
+        if self._X_u16_dev is not None:
+            budget = max(400_000_000,
+                         min(budget, 15_200_000_000 - frames.nbytes
+                             - 1_000_000_000))
+        chunk = max(1, int(budget // (6 * frames[0].nbytes)))
         means, stds, mxs, ne_parts = [], [], [], []
         ts = self.tilesize
         print(f'Staged preprocessing ({len(frames)} frames, '
@@ -299,6 +305,7 @@ class Timelapse:
             mxs.append(np.asarray(mx))
             tiles = TL.tile_frames(x, ts)
             ne_parts.append(np.asarray((tiles > 0).any(axis=(3, 4))))
+            print('.', end='', flush=True)
         self._nonempty_table = np.concatenate(ne_parts)    # [T_all, ny, nx]
         print('Done.')
 

@@ -548,23 +548,21 @@ class AxonDetections:
         lead = X[tp[0] - tc:tp[0]]
         centers = X[tp[0]:tp[-1] + 1]
         trail = X[tp[-1] + 1:tp[-1] + 1 + tc]
-        # pad the frame count to a multiple of the chip count AND so each
-        # chip owns >= tc frames (the ppermute halo is single-hop). Pad
-        # frames reuse the TRAIL content first (so the last real frames
-        # keep their true temporal context), then zeros; their outputs are
-        # discarded.
-        T_pad = n_dev * max(tc, -(-T // n_dev))
-        pad_n = T_pad - T
-        if pad_n:
-            fill = [trail[:pad_n]]
-            if pad_n > len(trail):
-                fill.append(np.zeros((pad_n - len(trail), *X.shape[1:]),
-                                     np.float32))
-            centers = np.concatenate([centers] + fill)
-            trail_pad = np.zeros((tc, *X.shape[1:]), np.float32)
-        else:
-            trail_pad = trail
-        frames = np.concatenate([lead, centers, trail_pad])
+        # lead/trail must be exactly tc frames each (long_movie_pipeline
+        # derives the real frame count from the total); zero-fill if the
+        # movie lacks context at either end
+        if len(lead) < tc:
+            lead = np.concatenate([np.zeros((tc - len(lead), *X.shape[1:]),
+                                            np.float32), lead])
+        if len(trail) < tc:
+            trail = np.concatenate([trail,
+                                    np.zeros((tc - len(trail),
+                                              *X.shape[1:]), np.float32)])
+        # frame-count padding (chip-count multiple, >= tc frames per chip)
+        # is handled inside long_movie_pipeline, which keeps every real
+        # frame's temporal context intact and trims pad outputs
+        pad_n = n_dev * max(tc, -(-T // n_dev)) - T
+        frames = np.concatenate([lead, centers, trail])
 
         # same association radius/window selection as the single-chip path
         H, W = ds.mask.shape[-2:]

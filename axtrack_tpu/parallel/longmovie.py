@@ -64,7 +64,8 @@ def _left_perm(n):
 
 def build_sharded_detector(mesh, model, variables, params, n_frames,
                            flat_idx, tile_yx, max_dets=64, conf_thr=0.55,
-                           var_scalar=None, preprocessed=False):
+                           var_scalar=None, preprocessed=False,
+                           n_real=None):
     """Jitted single-movie detector with the FRAME axis sharded over 'data'.
 
     Args:
@@ -92,11 +93,13 @@ def build_sharded_detector(mesh, model, variables, params, n_frames,
     T_loc = n_frames // n_dev
     # the single-hop ppermute halo ships tc frames from each neighbor; a
     # chip must own at least tc frames or the halo (and the context
-    # dynamic_slice) silently under-fills — pad the movie so T_loc >= tc
-    # (detections.detect_and_associate_sharded does)
+    # dynamic_slice) silently under-fills — long_movie_pipeline pads the
+    # movie so T_loc >= tc before calling this builder
     assert T_loc >= tc, (
         f'frames-per-chip {T_loc} < temporal context {tc}: pad the frame '
         f'count so each chip owns >= tc frames')
+    if n_real is None:
+        n_real = n_frames     # no padding: every frame is real
     flat_idx = jnp.asarray(flat_idx)
     tyx = jnp.asarray(tile_yx)
 
@@ -132,7 +135,11 @@ def build_sharded_detector(mesh, model, variables, params, n_frames,
                 part = (std_own.sum()
                         + jnp.where(idx == 0, std_lead.sum(), 0.0)
                         + jnp.where(idx == n_dev - 1, std_trail.sum(), 0.0))
-                vs = jax.lax.psum(part, 'data') / (n_frames + 2 * tc)
+                # denominator counts REAL frames only: zero pad frames
+                # contribute 0 to the sums (all-zero nonzero_stats is 0)
+                # and trail-content pad frames replace the trailing-halo
+                # rows they consumed, so each real frame is summed once
+                vs = jax.lax.psum(part, 'data') / (n_real + 2 * tc)
 
             proc = PP.preprocess_frames(block, m, 0.0, clip, vs)
         tiles = TL.tile_frames(proc, ts)
@@ -267,7 +274,7 @@ def long_movie_pipeline(mesh, model, variables, params, frames_u16, mask,
     """
     tc = params['TEMPORAL_CONTEXT']
     ts = params['TILESIZE']
-    n_frames = frames_u16.shape[0] - 2 * tc
+    n_real = frames_u16.shape[0] - 2 * tc
     H, W = frames_u16.shape[1:]
     if flat_idx is None:
         ny, nx = TL.n_tiles(H, ts), TL.n_tiles(W, ts)
@@ -277,18 +284,41 @@ def long_movie_pipeline(mesh, model, variables, params, frames_u16, mask,
         flat_idx, tile_yx = TL.tile_index_table(keep)
     tyx = tile_yx
 
+    # pad the frame count to a multiple of the chip count AND so every
+    # chip owns >= tc frames (the ppermute halo is single-hop). Pad frames
+    # consume the trailing-context content first and the trailing halo is
+    # SHIFTED past the consumed frames (trail[pad_n:] + zeros) — so every
+    # REAL frame keeps its true temporal context regardless of pad_n —
+    # then zeros; pad-frame outputs are trimmed below. Zero frames
+    # contribute 0 to the self-standardization psum (nonzero_stats of an
+    # all-zero frame is 0), so with the real-frame denominator (n_real +
+    # 2*tc, passed via n_real) the movie scalar matches the unpadded run.
+    frames_np = np.asarray(frames_u16)
+    centers_np = frames_np[tc:tc + n_real]
+    lead_np = frames_np[:tc]
+    trail_np = frames_np[tc + n_real:]
+    n_dev = mesh.shape['data']
+    n_frames = n_dev * max(tc, -(-n_real // n_dev))
+    pad_n = n_frames - n_real
+    if pad_n:
+        zeros = np.zeros((max(pad_n, tc), H, W), frames_np.dtype)
+        centers_np = np.concatenate(
+            [centers_np, trail_np[:pad_n], zeros[:max(0, pad_n - tc)]])
+        trail_np = np.concatenate([trail_np[pad_n:], zeros])[:tc]
+
     detect = build_sharded_detector(mesh, model, variables, params,
                                     n_frames, flat_idx, tyx,
                                     max_dets=max_dets, conf_thr=conf_thr,
                                     var_scalar=var_scalar,
-                                    preprocessed=preprocessed)
+                                    preprocessed=preprocessed,
+                                    n_real=n_real)
     assoc = build_sharded_assoc(mesh, n_frames, window=window,
                                 max_dets=max_dets, max_sweeps=max_sweeps,
                                 interpret=interpret, backend=backend)
 
-    centers = jnp.asarray(frames_u16[tc:tc + n_frames])
-    lead = jnp.asarray(frames_u16[:tc])
-    trail = jnp.asarray(frames_u16[tc + n_frames:])
+    centers = jnp.asarray(centers_np)
+    lead = jnp.asarray(lead_np)
+    trail = jnp.asarray(trail_np)
     m = jnp.asarray(np.asarray(mask, bool))
     conf, x, y, alive = detect(centers, lead, trail, m)
     D, ok = assoc(jnp.asarray(pad_mask_for_windows(mask, window)),
@@ -296,15 +326,15 @@ def long_movie_pipeline(mesh, model, variables, params, frames_u16, mask,
     conf, x, y, alive, D = (np.asarray(a) for a in (conf, x, y, alive, D))
 
     frame_dets = []
-    for t in range(n_frames):
+    for t in range(n_real):                   # pad-frame outputs discarded
         k = alive[t]
         frame_dets.append({'conf': conf[t][k].astype(np.float32),
                            'x': x[t][k].astype(np.int32),
                            'y': y[t][k].astype(np.int32)})
     astar_dists = {}
-    for s in range(n_frames):
+    for s in range(n_real):
         for g in (1, 2):
             t = s + g
-            if t < n_frames:
+            if t < n_real:
                 astar_dists[(t, g)] = D[s, g - 1][alive[s]][:, alive[t]]
     return frame_dets, astar_dists, np.asarray(ok)

