@@ -106,6 +106,72 @@ def _packed_gather_program(window, Dmax, n_pairs):
     return _PROGRAMS[key]
 
 
+def _fused_assoc_program(window, Dmax, n_pairs, n_src, max_sweeps, cap):
+    """ONE jitted program for a whole chamfer flush: batched wavefront maps
+    (with the in-program exactness certificate) + every lookback-pair
+    distance gather + the packed f32 output vector.
+
+    Fusing the two programs (maps, gathers) halves the tunnel dispatches
+    per flush and lets XLA schedule the gathers right behind the kernel.
+    All small inputs (sources, pair offsets, pair targets) arrive as ONE
+    packed i32 vector: through the tunnel every separate host->device
+    array costs its own ~25-50ms round-trip, which dwarfs the 11KB
+    payload. Keyed on bucketed shapes; ``n_src`` is the padded
+    source-count bucket (callers pad by REPEATING a real source so the
+    certificate — computed over every padded entry once shapes match —
+    cannot be vetoed by a synthetic (0,0) source in a slow corner of the
+    mask).
+    """
+    from .ops.geodesic import _gather_targets
+    from .ops.geodesic_pallas import batched_windows_probed
+    key = ('fassoc', window, Dmax, n_pairs, n_src, max_sweeps, cap)
+    if key not in _PROGRAMS:
+        capf = jnp.float32(cap)
+
+        def gathers(dmaps, origins, ok, packed_in):
+            src_off = packed_in[n_src * 2:n_src * 2 + n_pairs]
+            tgts = packed_in[n_src * 2 + n_pairs:].reshape(n_pairs, Dmax, 2)
+            dm = jnp.pad(dmaps, ((0, Dmax), (0, 0), (0, 0)),
+                         constant_values=np.float32(1e9))
+            org = jnp.pad(origins, ((0, Dmax), (0, 0)))
+
+            def per_pair(off, tg):
+                d = jax.lax.dynamic_slice_in_dim(dm, off, Dmax, 0)
+                o = jax.lax.dynamic_slice_in_dim(org, off, Dmax, 0)
+                return _gather_targets(d, o, tg, capf, window)
+
+            D = jax.vmap(per_pair)(src_off, tgts)
+            return jnp.concatenate([D.ravel(),
+                                    ok.astype(jnp.float32)[None]])
+
+        @jax.jit
+        def run(padded, packed_in):
+            srcs = packed_in[:n_src * 2].reshape(n_src, 2)
+            dmaps, origins, ok = batched_windows_probed(
+                padded, srcs, window, max_sweeps=max_sweeps)
+            return gathers(dmaps, origins, ok, packed_in), dmaps
+
+        @jax.jit
+        def resume(padded, packed_in, dmaps_in):
+            # CONTINUE max_sweeps more sweeps from a previous launch's maps
+            # (restarting from scratch doubles the work the first launch
+            # already did; real detections can sit off-mask on channel
+            # walls, where 1 down+up sweep genuinely under-converges and
+            # the certificate rightly fails)
+            from .ops.geodesic_pallas import (_pad_srcs, _crops_for,
+                                              _launch, _locally_consistent)
+            srcs = packed_in[:n_src * 2].reshape(n_src, 2)
+            N, Np, origins, local = _pad_srcs(padded, srcs, window)
+            crops = _crops_for(padded, origins, local, window, Np)
+            out = _launch(local, crops, window, max_sweeps, False,
+                          init=dmaps_in)
+            ok = _locally_consistent(out, crops)
+            return gathers(out, origins, ok, packed_in), out
+
+        _PROGRAMS[key] = (run, resume)
+    return _PROGRAMS[key]
+
+
 def _chunk_program(model, tilesize, tc, batch_frames, max_dets):
     """Fused whole-chunk program: CNN batches + decode + NMS per frame."""
     key = (('chunk', tilesize, tc, batch_frames, max_dets)
@@ -128,24 +194,28 @@ def _chunk_program(model, tilesize, tc, batch_frames, max_dets):
     def chunk_step(variables, tiles_chunk, centers_local, tile_yx,
                    conf_thr, nms_dist, n_centers):
         K = tiles_chunk.shape[1]
-        outs = []
+        grids_all = []
         for c0 in range(0, n_centers, batch_frames):
             sub = list(range(c0, min(c0 + batch_frames, n_centers)))
             X = jnp.concatenate(
                 [frame_stack(tiles_chunk, centers_local[i])
                  for i in sub], axis=0)
             grids = detect_axons(model, variables, X)
-            grids = grids.reshape(len(sub), K, *grids.shape[1:])
-            for i in range(len(sub)):
-                dets = decode_tiled(grids[i], tile_yx, conf_thr,
-                                    tilesize, max_dets=max_dets)
-                alive = distance_nms(dets['conf'], dets['x'],
-                                     dets['y'], dets['valid'], nms_dist)
-                outs.append((dets['conf'], dets['x'], dets['y'], alive))
-        conf, x, y, alive = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+            grids_all.append(grids.reshape(len(sub), K, *grids.shape[1:]))
+        grids_all = jnp.concatenate(grids_all)
+        # decode + NMS BATCHED over frames (one vmapped instance runs all
+        # frames' NMS fixpoints together — a per-frame loop serializes 2
+        # small sub-graphs per frame; round count = max chain depth)
+        dec = jax.vmap(lambda g: decode_tiled(g, tile_yx, conf_thr,
+                                              tilesize,
+                                              max_dets=max_dets))(grids_all)
+        alive = jax.vmap(lambda c, xx, yy, v: distance_nms(
+            c, xx, yy, v, nms_dist))(dec['conf'], dec['x'], dec['y'],
+                                     dec['valid'])
         # ONE packed f32 output => the host fetch is a single transfer
         # (four separate fetches cost a tunnel round-trip each)
-        return jnp.stack([conf, x, y, alive.astype(jnp.float32)])
+        return jnp.stack([dec['conf'], dec['x'], dec['y'],
+                          alive.astype(jnp.float32)])
 
     _PROGRAMS[key] = chunk_step
     return chunk_step
@@ -284,16 +354,23 @@ class AxonDetections:
 
     def _detect_fused(self, chunk_frames):
         """Whole-movie fused path: chunks of frames, one jitted program.
-        Within a chunk, up to 4 frames' tile stacks are concatenated into a
-        single CNN batch (~3.5x faster than per-frame calls on TPU — MXU
-        utilization; 4 bounds the 5x context-duplicated activations)."""
+        Within a chunk, frames' tile stacks are concatenated into a single
+        CNN batch: the conv stack has a ~25-30ms fixed cost per call
+        (weight layout/pipeline fill) while the MARGINAL cost per 512px
+        tile is tiny (~63 TFLOP/s, scripts/profile_cnn2.py), so one big
+        call beats per-frame calls ~3.5-6x. Batch size is capped so the
+        L0 activations (5 context channels duplicated per frame) stay
+        within a ~4GB HBM budget."""
         model, variables = self.model
         ds = self.dataset
         tile_yx = jnp.asarray(ds._tile_yx)
         tc = ds.temporal_context
         conf_thr = float(self.all_conf_thrs.min())
+        K = len(ds._tile_flat_idx)
+        act_bytes = K * self.tilesize ** 2 * (2 * tc + 1) * 4
+        batch_frames = int(min(16, max(1, (4 * 2 ** 30) // max(act_bytes, 1))))
         chunk_step = _chunk_program(model, self.tilesize, tc,
-                                    batch_frames=4,
+                                    batch_frames=batch_frames,
                                     max_dets=MAX_DETS_PER_FRAME)
 
         out = []
@@ -317,10 +394,16 @@ class AxonDetections:
                            n_centers=len(t_all)))          # one fetch
             conf, x, y = packed[0], packed[1], packed[2]
             alive = packed[3] > 0.5
-            # one batched device gather + one fetch for all chunk targets
-            # (a per-frame np.asarray costs a round-trip each)
-            targets = np.asarray(
-                jnp.asarray(ds.target_tiled)[jnp.asarray(t_all)])
+            if self.labelled:
+                # one batched device gather + one fetch for all chunk
+                # targets (a per-frame np.asarray costs a round-trip each)
+                targets = np.asarray(
+                    jnp.asarray(ds.target_tiled)[jnp.asarray(t_all)])
+            else:
+                # unlabelled inference: the GT grids are all-NaN scatters
+                # that nothing reads (labelled gates every consumer) —
+                # shipping them costs ~60ms/chunk of tunnel bandwidth
+                targets = [None] * len(chunk)
             for i, t in enumerate(chunk):
                 out.append((conf[i], x[i], y[i], alive[i], targets[i]))
         return out
@@ -688,23 +771,6 @@ class AxonDetections:
         def flush(group):
             ys = np.concatenate([dets[s]['y'] for s in group])
             xs = np.concatenate([dets[s]['x'] for s in group])
-            srcs = jnp.stack([jnp.asarray(ys), jnp.asarray(xs)], -1)
-            # exact distances on ANY mask geometry: the local-consistency
-            # certificate verifies the maps (geodesic_pallas) and the sweep
-            # budget doubles only when it fails. Initial budget 1 is tuned
-            # for the microchannel-mask domain, where one down+up sweep
-            # converges (verified vs the C++ oracle). On the Pallas path
-            # the certificate flag is DEFERRED: it rides the pair-gather
-            # fetch instead of costing its own device sync.
-            deferred = G.use_pallas_backend()
-            if deferred:
-                from .ops.geodesic_pallas import batched_windows_probed
-                dmaps, origins, okdev = batched_windows_probed(
-                    padded, srcs, window, max_sweeps=1)
-            else:
-                dmaps, origins = G.batched_windows(padded, srcs, window, 1,
-                                                   converge=True)
-                okdev = jnp.bool_(True)
             # all pair gathers of this group: one program, one fetch
             pair_meta, offs, tgts = [], [], []
             off = 0
@@ -735,20 +801,62 @@ class AxonDetections:
             tgts_np = np.concatenate(
                 [np.stack(tgts),
                  np.full((n_pad, Dmax, 2), BAD, np.int32)], axis=0)
-            run = _packed_gather_program(window, Dmax, P_b)
-            out = np.asarray(run(dmaps, origins, jnp.asarray(offs_np),
-                                 jnp.asarray(tgts_np),
-                                 jnp.float32(self.max_px_assoc_dist),
-                                 okdev))
-            if out[-1] == 0.0:
-                # certificate failed (rare, exotic mask): redo with the
-                # doubling wrapper, which guarantees exactness
-                dmaps, origins = G.batched_windows(padded, srcs, window, 2,
-                                                   converge=True)
-                out = np.asarray(run(dmaps, origins, jnp.asarray(offs_np),
-                                     jnp.asarray(tgts_np),
-                                     jnp.float32(self.max_px_assoc_dist),
-                                     jnp.bool_(True)))
+            # exact distances on ANY mask geometry: the local-consistency
+            # certificate verifies the maps inside the SAME program as the
+            # pair gathers (one dispatch + one fetch per flush) and the
+            # sweep budget doubles only when it fails. Initial budget 1 is
+            # tuned for the microchannel-mask domain, where one down+up
+            # sweep converges (verified vs the C++ oracle). Sources are
+            # padded to the kernel bucket by REPEATING the last real
+            # detection — duplicate windows converge with the real ones,
+            # so padding cannot veto the certificate.
+            from .ops.geodesic_pallas import src_bucket
+            n_real = len(ys)
+            n_src = src_bucket(n_real, window)
+            ys_p = np.concatenate([ys, np.full(n_src - n_real, ys[-1])])
+            xs_p = np.concatenate([xs, np.full(n_src - n_real, xs[-1])])
+            srcs_np = np.stack([ys_p, xs_p], -1).astype(np.int32)
+            out = None
+            if G.use_pallas_backend():
+                # initial sweep budget is ADAPTIVE, cached on the DATASET
+                # (convergence depth is a property of the mask geometry):
+                # trained-CNN detections can sit off-mask on channel walls
+                # where 1 sweep under-converges; once a flush needed more,
+                # later flushes start at the certified budget directly
+                budget = getattr(self.dataset, '_assoc_sweeps', 1)
+                run, resume = _fused_assoc_program(
+                    window, Dmax, P_b, n_src, max_sweeps=budget,
+                    cap=float(self.max_px_assoc_dist))
+                packed_in = np.concatenate(
+                    [srcs_np.ravel(), offs_np, tgts_np.ravel()]
+                ).astype(np.int32)
+                packed_dev, dmaps_dev = run(padded, packed_in)
+                out = np.asarray(packed_dev)   # dmaps stay on device
+                total = budget
+                while out[-1] == 0.0 and total < 64:
+                    # certificate failed: CONTINUE sweeps from the resident
+                    # maps (doubling), never recompute finished work
+                    _, resume = _fused_assoc_program(
+                        window, Dmax, P_b, n_src, max_sweeps=total,
+                        cap=float(self.max_px_assoc_dist))
+                    packed_dev, dmaps_dev = resume(padded, packed_in,
+                                                   dmaps_dev)
+                    out = np.asarray(packed_dev)
+                    total *= 2
+                self.dataset._assoc_sweeps = min(total, 4)
+                if out[-1] == 0.0:
+                    out = None                 # exotic mask: exact fallback
+            if out is None:
+                # lax backend, or the doubling continuation hit its bound:
+                # the converge wrapper guarantees exactness
+                dmaps, origins = G.batched_windows(padded, jnp.asarray(
+                    srcs_np), window, 2, converge=True)
+                gather = _packed_gather_program(window, Dmax, P_b)
+                out = np.asarray(gather(dmaps, origins,
+                                        jnp.asarray(offs_np),
+                                        jnp.asarray(tgts_np),
+                                        jnp.float32(self.max_px_assoc_dist),
+                                        jnp.bool_(True)))
             D = out[:-1].reshape(P_b, Dmax, Dmax)
             for i, (s, gap, t) in enumerate(pair_meta):
                 astar_dists[(t, gap)] = D[i][:counts[s], :counts[t]]

@@ -174,16 +174,33 @@ def _chamfer_kernel(src_ref, crop_ref, d_ref, *, window, max_sweeps,
     jax.lax.fori_loop(0, max_sweeps, sweep, jnp.int32(0))
 
 
+def src_bucket(n, window):
+    """Padded source-count bucket for ``n`` real sources.
+
+    Power-of-two below 128 (keeps tiny test workloads tiny), then
+    multiples of 64: kernel compute scales linearly with the bucket, so
+    pow2 wastes up to ~2x above the crossover (e.g. 305 real sources
+    would run 512 padded windows; 320 runs 37% less). Each distinct
+    bucket compiles once (persistent cache); the 64-granularity keeps the
+    count bounded.
+    """
+    b = _src_block(window)
+    np_ = b
+    while np_ < n:
+        np_ *= 2
+    if np_ > 128:
+        np_ = -(-n // 64) * 64
+    return np_
+
+
 def _pad_srcs(passable_padded, srcs_yx, window):
-    """Pad sources to a power-of-two bucket and derive crop origins/locals.
+    """Pad sources to a bucketed count and derive crop origins/locals.
     Detection counts vary per frame; each distinct shape would otherwise
     recompile the kernel."""
     Hp, Wp = passable_padded.shape
     srcs = jnp.asarray(srcs_yx, jnp.int32).reshape(-1, 2)
     N = srcs.shape[0]
-    Np = _src_block(window)
-    while Np < N:
-        Np *= 2
+    Np = src_bucket(N, window)
     srcs_p = jnp.pad(srcs, ((0, Np - N), (0, 0)))
     oy = jnp.clip(srcs_p[:, 0] - window // 2, 0, Hp - window)
     ox = jnp.clip(srcs_p[:, 1] - window // 2, 0, Wp - window)

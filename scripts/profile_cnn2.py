@@ -117,5 +117,66 @@ def main():
     print(f'L0 alone: ref {d1*1e3:.1f} ms | im2col {d2*1e3:.1f} ms')
 
 
-if __name__ == '__main__':
+
+
+def conv_s2d_l0(x, w, s):
+    """L0 (k=3, s=2, pad 1) via space-to-depth: x [N,H,W,C] ->
+    z [N,H/2,W/2,4C], conv k=2 s=1 pad ((1,0),(1,0)) with the kernel
+    exactly rearranged (u = 2*ky+dy-1; u=-1 entries are zero). Bit-exact
+    weight transform, fills the MXU contraction dim 4x better."""
+    assert s == 2 and w.shape[0] == 3
+    N, H, W, C = x.shape
+    k_out = w.shape[3]
+    z = x.reshape(N, H // 2, 2, W // 2, 2, C)
+    z = jnp.moveaxis(z, (2, 4), (3, 4)).reshape(N, H // 2, W // 2, 4 * C)
+    w2 = np.zeros((2, 2, 2, 2, C, k_out), np.float32)   # ky kx dy dx c o
+    wn = np.asarray(w)
+    for ky in range(2):
+        for kx in range(2):
+            for dy in range(2):
+                for dx in range(2):
+                    u, v = 2 * ky + dy - 1, 2 * kx + dx - 1
+                    if 0 <= u < 3 and 0 <= v < 3:
+                        w2[ky, kx, dy, dx] = wn[u, v]
+    w2 = jnp.asarray(w2.reshape(2, 2, 4 * C, k_out))
+    return jax.lax.conv_general_dilated(
+        z, w2, (1, 1), [(1, 0), (1, 0)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
+def main_s2d():
+    N = int(sys.argv[1]) if len(sys.argv) > 1 else 78
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (N, 512, 512, 5)).astype(np.float32))
+    ws = make_weights(rng)
+    total_fl = 197.8e9 / 78 * N
+
+    def impl_l0_only(fn):
+        calls = [0]
+
+        def impl(a, w, s):
+            calls[0] += 1
+            return fn(a, w, s) if calls[0] == 1 else conv_ref(a, w, s)
+        return impl
+
+    f_ref = jax.jit(lambda a: stack(a, ws, conv_ref))
+    dt, out_ref = timeit(f_ref, x)
+    print(f'reference convs:    {dt*1e3:7.1f} ms  '
+          f'{total_fl/dt/1e12:5.2f} TFLOP/s')
+
+    f_s2d = jax.jit(lambda a: stack(a, ws, impl_l0_only(conv_s2d_l0)))
+    dt2, out_s2d = timeit(f_s2d, x)
+    print(f's2d L0:             {dt2*1e3:7.1f} ms  '
+          f'{total_fl/dt2/1e12:5.2f} TFLOP/s')
+    err = float(jnp.max(jnp.abs(out_ref - out_s2d)))
+    print(f'  max abs diff vs reference convs: {err:.2e}')
+
+
+if os.environ.get('S2D'):
+    main_s2d()
+    sys.exit(0)
+
+
+
+if __name__ == '__main__' and not os.environ.get('S2D'):
     main()

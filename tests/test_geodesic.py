@@ -254,3 +254,27 @@ class TestCertificatePadding:
         _, _, ok = batched_windows_probed(m, srcs, 64, max_sweeps=2,
                                           interpret=True)
         assert bool(ok)          # open-area real map converges in 1 sweep
+
+
+class TestSrcBucket:
+    def test_bucket_sizes(self):
+        from axtrack_tpu.ops.geodesic_pallas import src_bucket, _src_block
+        b = _src_block(512)
+        # tiny counts: power-of-two from the kernel block (tests stay tiny)
+        assert src_bucket(1, 512) == b
+        assert src_bucket(b, 512) == b
+        assert src_bucket(b + 1, 512) == 2 * b
+        assert src_bucket(100, 512) == 128
+        # above 128: multiples of 64 (linear kernel compute, bounded
+        # compile count) — 305 real sources run 320 windows, not 512
+        assert src_bucket(129, 512) == 192
+        assert src_bucket(305, 512) == 320
+        assert src_bucket(512, 512) == 512
+        # idempotent (a bucket is its own bucket: callers may pre-pad)
+        for n in (16, 64, 128, 192, 320, 512, 1024):
+            assert src_bucket(src_bucket(n, 512), 512) == src_bucket(n, 512)
+        # always a multiple of the kernel block
+        for w in (128, 256, 512, 1024):
+            for n in (1, 7, 65, 129, 300, 1000):
+                assert src_bucket(n, w) % _src_block(w) == 0
+                assert src_bucket(n, w) >= n

@@ -317,3 +317,45 @@ class TestOnlineTrackerAgreement:
             b = set(map(tuple, onl_all[t].dropna()[
                 ['anchor_x', 'anchor_y']].values))
             assert a == b
+
+
+class TestFusedAssocProgram:
+    def test_fused_pallas_flush_matches_lax_path(self, params, monkeypatch,
+                                                 tmp_path_factory):
+        """The production flush's FUSED Pallas program (chamfer maps +
+        certificate + pair gathers in one jit, TPU hot path) produces the
+        same astar_dists as the lax doubling-wrapper path. Runs the Mosaic
+        kernel in interpret mode on a small fixture (window is capped by
+        the frame size, so the interpret sweep stays cheap)."""
+        import functools
+        from axtrack_tpu.ops import geodesic as G
+        from axtrack_tpu.ops import geodesic_pallas as GP
+
+        d = tmp_path_factory.mktemp('fused')
+        fx = write_fixture(str(d), T=6, H=256, W=256, n_axons=4, seed=7,
+                           n_channels=4)
+        ds = Timelapse(
+            imseq_path=fx['tif'], labels_csv=fx['labels'],
+            mask_path=fx['mask'], timepoints=None, offset=None,
+            log_correct=True, standardize_framewise=False,
+            standardize=('zscore', None), name='fused',
+            use_transforms=[], contrast_llim=None, plot=False, pad=None,
+            Sy=6, Sx=6, tilesize=64, cache=None, from_cache=None,
+            temporal_context=2)
+        P = dict(params, TILESIZE=64, SY=6, SX=6)
+        oracle = OracleDetector(ds, conf=0.95, noise_cells=0)
+
+        ax = AxonDetections(oracle, ds, P, None)
+        ax.detect_dataset()
+        ref = ax._compute_detections_astar_dists()    # lax path on CPU
+
+        # force the Pallas branch of the flush, in interpret mode
+        monkeypatch.setattr(G, 'use_pallas_backend', lambda: True)
+        monkeypatch.setattr(
+            GP, 'batched_windows_probed',
+            functools.partial(GP.batched_windows_probed.__wrapped__,
+                              interpret=True))
+        got = ax._compute_detections_astar_dists()
+        assert set(got) == set(ref)
+        for k in ref:
+            assert np.array_equal(np.asarray(got[k]), np.asarray(ref[k])), k
