@@ -146,7 +146,11 @@ def build_tpu_stages(frames, mask, P, model, variables, n_frames):
         bad = jnp.int32(-10 ** 6)
         yy = jnp.where(alive, ys.astype(jnp.int32), bad).reshape(-1)
         xx = jnp.where(alive, xs.astype(jnp.int32), bad).reshape(-1)
-        srcs = jnp.stack([yy, xx], -1)               # [n_frames*MAXD, 2]
+        # the LAST frame's detections are only ever gather targets, never
+        # wavefront sources — (n_frames-1)*MAXD windows, not n_frames*MAXD
+        # (kernel compute is linear in the window count)
+        n_src = (n_frames - 1) * MAXD
+        srcs = jnp.stack([yy[:n_src], xx[:n_src]], -1)
         dmaps, origins, converged = batched_windows_probed(
             padded, srcs, window, max_sweeps=sweeps)
         out = []
