@@ -129,9 +129,14 @@ def _chamfer_kernel(src_ref, crop_ref, d_ref, *, window, max_sweeps,
 
     # rows are processed in blocks of RB: VMEM loads/stores need provably
     # aligned dynamic indices (Mosaic cannot tile an arbitrary dynamic row
-    # offset), and slab-wise access amortizes ref traffic — the 32
-    # Gauss-Seidel rows inside a slab run on register values.
-    RB = 32
+    # offset), and slab-wise access amortizes ref traffic — the
+    # Gauss-Seidel rows inside a slab run on register values. RB=64
+    # measured ~17% faster than 32 at window 512 (128 is a wash with
+    # longer compiles); halve until it divides the window (windows are
+    # only guaranteed multiples of 8 when capped by a small frame).
+    RB = 64
+    while W % RB:
+        RB //= 2
     n_blocks = W // RB
 
     def relax_slab(d_slab, p_slab, prev, reverse):

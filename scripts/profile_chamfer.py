@@ -32,7 +32,7 @@ mpad[:mask.shape[0], :mask.shape[1]] = mask
 m_d = jax.device_put(mpad)
 s_d = jax.device_put(srcs)
 
-for sweeps in (4,):
+for sweeps in (1, 2):
     fn = jax.jit(lambda m, s: GP.batched_windows_pallas(
         m, s, window, max_sweeps=sweeps)[0])
     out = fn(m_d, s_d)
