@@ -166,3 +166,17 @@ class TestMultiHost:
         assert set(m.shape) == {'data', 'model'}
         assert m.shape['model'] == 2
         assert m.shape['data'] * 2 <= len(jax.devices())
+
+
+class TestDriverEntry:
+    def test_probe_device_count_initialized_backend(self):
+        """__graft_entry__._probe_device_count must report the live backend
+        without spawning a subprocess once jax is initialized (a subprocess
+        inheriting a dead-tunnel env would stall the driver's dryrun)."""
+        import sys
+        import os
+        import jax
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        import __graft_entry__ as g
+        assert g._probe_device_count() == len(jax.devices())
