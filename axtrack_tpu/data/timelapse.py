@@ -126,7 +126,13 @@ class Timelapse:
         """
         print('Loading .tif image...', end='', flush=True)
         if isinstance(path, np.ndarray):
-            imseq = path
+            # the array is ADOPTED: mask zeroing happens in place to avoid
+            # doubling host RAM on beyond-HBM movies (callers wanting to
+            # keep the original pass a copy). Read-only arrays (e.g.
+            # np.load mmap_mode='r') must be copied to be maskable.
+            imseq = np.asarray(path)
+            if not imseq.flags.writeable:
+                imseq = imseq.copy()
         else:
             from .tiffio import read_tiff_raw
             imseq = read_tiff_raw(path)
@@ -265,18 +271,7 @@ class Timelapse:
         # scale would dwarf compute)
         self._X_u16_dev = None
         if frames.nbytes <= self._RESIDENT_U16_BUDGET:
-            try:
-                print(f'Shipping raw u16 movie to HBM once '
-                      f'({frames.nbytes/1e9:.1f} GB)...', end='',
-                      flush=True)
-                dev = jax.device_put(frames)
-                dev.block_until_ready()
-                self._X_u16_dev = dev
-                print('Done.', flush=True)
-            except Exception as e:
-                print(f'resident u16 failed ({type(e).__name__}); '
-                      'streaming.', flush=True)
-                self._X_u16_dev = None
+            self._ship_resident_u16(frames)
 
         # one chunked device pass: per-frame nonzero stats + tile table.
         # With the movie resident, the chunk working set shares HBM with
@@ -505,10 +500,15 @@ class Timelapse:
             return True
         if self.X.nbytes > self._RESIDENT_U16_BUDGET:
             return False
+        return self._ship_resident_u16(self.X)
+
+    def _ship_resident_u16(self, frames):
+        """One-shot raw-u16 ship to HBM; sets ``_X_u16_dev``. Returns True
+        when resident, False (host streaming) on any device failure."""
         try:
             print(f'Shipping raw u16 movie to HBM once '
-                  f'({self.X.nbytes/1e9:.1f} GB)...', end='', flush=True)
-            dev = jax.device_put(self.X)
+                  f'({frames.nbytes/1e9:.1f} GB)...', end='', flush=True)
+            dev = jax.device_put(frames)
             dev.block_until_ready()
             self._X_u16_dev = dev
             print('Done.', flush=True)

@@ -614,9 +614,14 @@ class AxonDetections:
         ds = self.dataset
         assert self.timepoint_subset == list(range(ds.sizet)), \
             'sharded path supports full-movie detection only'
-        assert not (getattr(ds, '_u16_staged', False)
-                    and ds.X_tiled is None), \
-            'sharded path needs in-memory preprocessed frames'
+        # staged datasets keep ds.X as RAW uint16 (preprocessing happens
+        # on-device per chunk) even after tiles are materialized — passing
+        # that to the preprocessed=True sharded detector would silently
+        # produce garbage, so reject staged datasets outright
+        assert not getattr(ds, '_u16_staged', False), \
+            'sharded path needs an in-memory preprocessed dataset ' \
+            '(staged raw-u16 movies never materialize preprocessed ' \
+            'frames; use the single-chip path)'
         ds.construct_tiles(force_no_transformation=True)
         if mesh is None:
             mesh = make_mesh(n_model=1)
@@ -648,15 +653,7 @@ class AxonDetections:
         frames = np.concatenate([lead, centers, trail])
 
         # same association radius/window selection as the single-chip path
-        H, W = ds.mask.shape[-2:]
-        if self.MCF_vis_sim_weight == 0:
-            d_eff = self.max_px_assoc_dist * (
-                1 - np.exp(-self.MCF_edge_cost_thr) + 1e-6)
-            d_eff = min(np.ceil(d_eff), self.max_px_assoc_dist)
-        else:
-            d_eff = self.max_px_assoc_dist
-        window = int(min(1024, G._round_up(2 * int(d_eff) + 1, 128)))
-        window = min(window, max(G._round_up(max(H, W), 8), 8))
+        window = self._assoc_window()
 
         model, variables = self.model
         print(f'Sharded detect+associate over {n_dev} chips '
@@ -668,6 +665,8 @@ class AxonDetections:
              'NON_MAX_SUPRESSION_DIST': self.nms_min_dist},
             frames, np.asarray(ds.mask, bool), max_dets=max_dets,
             window=window, max_sweeps=max_sweeps,
+            max_gap=self.MCF_max_num_misses + 1,
+            max_dist=float(self.max_px_assoc_dist),
             flat_idx=ds._tile_flat_idx, tile_yx=ds._tile_yx,
             conf_thr=float(self.all_conf_thrs.min()), preprocessed=True)
         if not np.asarray(ok).all():
@@ -702,6 +701,28 @@ class AxonDetections:
                             if t < T}
         print('Done.\n', flush=True)
 
+    def _assoc_window(self):
+        """Chamfer window size from the effective association radius —
+        shared by the single-chip and sharded association paths so the two
+        routes can never drift apart.
+
+        Transition edges with cost > MCF_EDGE_COST_THR are pruned by the
+        tracker, so distances beyond d_eff = max_px * (1 - e^-thr) never
+        affect the solution (transition cost =
+        -log((1-d/max_px)*miss^(gap-1)+1e-6), mincostflow_models.py:115-118)
+        — gap 1 gives the largest radius. Nonzero visual-similarity weight
+        can rescue far pairs, so it needs the full radius.
+        """
+        H, W = self.dataset.mask.shape[-2:]
+        if self.MCF_vis_sim_weight == 0:
+            d_eff = self.max_px_assoc_dist * (
+                1 - np.exp(-self.MCF_edge_cost_thr) + 1e-6)
+            d_eff = min(np.ceil(d_eff), self.max_px_assoc_dist)
+        else:
+            d_eff = self.max_px_assoc_dist
+        window = int(min(1024, G._round_up(2 * int(d_eff) + 1, 128)))
+        return min(window, max(G._round_up(max(H, W), 8), 8))
+
     def _frame_det_arrays(self):
         out = []
         for t in range(len(self)):
@@ -725,20 +746,7 @@ class AxonDetections:
         print('\nComputing geodesic detection distances...', flush=True)
         dets = self._frame_det_arrays()
         H, W = self.dataset.mask.shape[-2:]
-        # effective association radius: transition edges with cost >
-        # MCF_EDGE_COST_THR are pruned by the tracker, so distances beyond
-        # d_eff = max_px * (1 - e^-thr) never affect the solution
-        # (transition cost = -log((1-d/max_px)*miss^(gap-1)+1e-6),
-        # mincostflow_models.py:115-118) — gap 1 gives the largest radius.
-        if self.MCF_vis_sim_weight == 0:
-            d_eff = self.max_px_assoc_dist * (
-                1 - np.exp(-self.MCF_edge_cost_thr) + 1e-6)
-            d_eff = min(np.ceil(d_eff), self.max_px_assoc_dist)
-        else:
-            # visual similarity can rescue far pairs -> need full radius
-            d_eff = self.max_px_assoc_dist
-        window = int(min(1024, G._round_up(2 * int(d_eff) + 1, 128)))
-        window = min(window, max(G._round_up(max(H, W), 8), 8))
+        window = self._assoc_window()
         # padded mask cached on the dataset: shipping the full-frame bool
         # mask through the tunnel on every assign_ids call cost ~0.2s
         cached = getattr(self.dataset, '_padded_mask_dev', None)
@@ -843,7 +851,13 @@ class AxonDetections:
                                                    dmaps_dev)
                     out = np.asarray(packed_dev)
                     total *= 2
-                self.dataset._assoc_sweeps = min(total, 4)
+                # remember the certified depth so later flushes start
+                # there directly instead of re-walking the fail-resume
+                # doubling ladder; capped so one outlier flush (e.g. a
+                # frame with a wall-wedged detection needing deep sweeps)
+                # cannot permanently inflate every later flush's fixed
+                # per-sweep compute
+                self.dataset._assoc_sweeps = min(total, 16)
                 if out[-1] == 0.0:
                     out = None                 # exotic mask: exact fallback
             if out is None:

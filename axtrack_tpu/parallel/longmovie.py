@@ -11,7 +11,8 @@ single movie is sharded over the mesh 'data' axis (SURVEY.md §5
   per side (2 frames each — the only cross-chip traffic).
 - association: detections are tiny and replicated; each chip builds the
   geodesic wavefront windows (Pallas chamfer) for the sources in ITS frame
-  block and gathers the pair distance matrices for lookback gaps 1..2.
+  block and gathers the pair distance matrices for lookback gaps
+  1..max_gap (default 2 = the reference's MCF_MAX_NUM_MISSES+1).
   Per-chip exactness certificates (geodesic_pallas._locally_consistent)
   come back as one flag per chip.
 
@@ -259,7 +260,7 @@ def long_movie_pipeline(mesh, model, variables, params, frames_u16, mask,
                         max_dets=64, window=512, max_sweeps=8,
                         var_scalar=None, interpret=False, backend=None,
                         flat_idx=None, tile_yx=None, conf_thr=0.55,
-                        preprocessed=False):
+                        preprocessed=False, max_gap=2, max_dist=500.0):
     """End-to-end sharded detect + associate for one long movie.
 
     frames_u16: uint16 [T_total, H, W] INCLUDING tc leading/trailing
@@ -314,6 +315,7 @@ def long_movie_pipeline(mesh, model, variables, params, frames_u16, mask,
                                     n_real=n_real)
     assoc = build_sharded_assoc(mesh, n_frames, window=window,
                                 max_dets=max_dets, max_sweeps=max_sweeps,
+                                max_gap=max_gap, max_dist=max_dist,
                                 interpret=interpret, backend=backend)
 
     centers = jnp.asarray(centers_np)
@@ -333,7 +335,7 @@ def long_movie_pipeline(mesh, model, variables, params, frames_u16, mask,
                            'y': y[t][k].astype(np.int32)})
     astar_dists = {}
     for s in range(n_real):
-        for g in (1, 2):
+        for g in range(1, max_gap + 1):
             t = s + g
             if t < n_real:
                 astar_dists[(t, g)] = D[s, g - 1][alive[s]][:, alive[t]]

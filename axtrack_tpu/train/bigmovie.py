@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import tiling as TL
+from ..ops.preproc import staged_preprocess_u16
 from ..data.augment import transform_frames_dynamic
 
 
@@ -98,17 +99,21 @@ def _get_chunk_prog(state, dataset, P, which_dataset):
     cache = getattr(state, '_chunk_progs', None)
     if cache is None:
         cache = state._chunk_progs = {}
-    key = (which_dataset, id(dataset))
+    s = dataset._stage
+    ts = dataset.tilesize
+    nyx = dataset.ytiles * dataset.xtiles
+    tc = dataset.temporal_context
+    # key by the VALUES run_chunk bakes in (not id(dataset): a recycled
+    # id after the old dataset is collected would silently reuse stale
+    # stage constants) — equal key => identical traced program
+    key = (which_dataset, float(s['offset']), float(s['lower']),
+           float(s['var']), bool(s['log']), ts, nyx, tc)
     if key in cache:
         return cache[key]
 
     train_step, eval_step = state._steps
-    s = dataset._stage
     offset, lower, var = s['offset'], s['lower'], s['var']
     log_correct = s['log']
-    ts = dataset.tilesize
-    nyx = dataset.ytiles * dataset.xtiles
-    tc = dataset.temporal_context
 
     @jax.jit
     def run_chunk(params, batch_stats, opt_state, u16, flat_idx, dy, dx,
@@ -119,14 +124,10 @@ def _get_chunk_prog(state, dataset, P, which_dataset):
         # wrong tiles. Its length K keys the jit cache (a handful of
         # distinct K values over a run -> a handful of compiles).
         K = flat_idx.shape[0]
-        # normalize + preproc (exact staged_preprocess_u16 math, traced
-        # here so XLA fuses it with the transform)
-        x = u16.astype(jnp.float32) / jnp.float32(65535.0)
-        x = jnp.maximum(x - offset, 0.0)
-        x = jnp.where(x < lower, 0.0, x)
-        if log_correct:
-            x = jnp.log2(1.0 + x)
-        x = x / var
+        # the canonical staged preproc chain, traced in this jit so XLA
+        # fuses it with the transform
+        x = staged_preprocess_u16(u16, offset, lower, var,
+                                  log_correct=log_correct)
         x = transform_frames_dynamic(x, dy, dx, fy, fx, angle)
         tiles = TL.tile_frames(x, ts).reshape(x.shape[0], nyx, ts, ts)
         tiles = tiles[:, flat_idx]                    # [Tc_all, K, ts, ts]
@@ -213,7 +214,10 @@ def run_epoch_chunked(state, dataset, which_dataset, P, plan=None):
                     {k: float(v[b]) for k, v in comps.items()}))
         if i + 1 < len(chunks):
             u16 = u16_next
-        print(f'{all_comps[-1]["total_summed_loss"]:.3f}', end='...',
-              flush=True)
+        if all_comps:   # a chunk can yield no batches under DROP_LAST
+            print(f'{all_comps[-1]["total_summed_loss"]:.3f}', end='...',
+                  flush=True)
     print(f'Done ({len(all_comps)} batches).')
+    if not all_comps:
+        return pd.DataFrame()
     return pd.concat(all_comps, axis=1)

@@ -221,3 +221,34 @@ class TestChunkedEpoch:
                                   min_pos_rate=0)
             assert ds_staged.X_tiled is None
             assert float(el['total_summed_loss']) > 0
+
+
+class TestStagedGuards:
+    def test_sharded_path_rejects_staged_dataset(self, P, monkeypatch):
+        """detections.detect_and_associate_sharded must reject staged
+        datasets loudly: their .X is RAW uint16 (regression: the old guard
+        tested X_tiled, letting raw integers through as 'preprocessed'
+        frames)."""
+        from axtrack_tpu.detections import AxonDetections
+        from axtrack_tpu.models.yolo import build_model, init_variables
+        ds_staged, _ = make_datasets(P, monkeypatch)
+        ds_staged.construct_tiles(force_no_transformation=True)
+        # materialize host X_tiled: the OLD guard keyed on it and would
+        # have waved this dataset through with raw-u16 frames
+        ds_staged.materialize_tiles()
+        assert ds_staged._u16_staged and ds_staged.X_tiled is not None
+        model = build_model(P)
+        variables = init_variables(model, P, seed=0)
+        ad = AxonDetections((model, variables), ds_staged, P, None)
+        with pytest.raises(AssertionError, match='staged'):
+            ad.detect_and_associate_sharded()
+
+    def test_empty_chunk_under_drop_last(self, P, monkeypatch):
+        """A chunk yielding zero full batches under DROP_LAST must not
+        crash the progress print (regression: all_comps[-1] IndexError)."""
+        P2 = dict(P, DROP_LAST=True, BATCH_SIZE=10 ** 6)
+        ds_staged, _ = make_datasets(P2, monkeypatch)
+        state = TestChunkedEpoch._sgd_state(P2)
+        ds_staged.construct_tiles()
+        comps = run_epoch_chunked(state, ds_staged, 'train', P2)
+        assert len(comps) == 0

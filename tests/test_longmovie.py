@@ -105,3 +105,21 @@ class TestLongMovieSharding:
         for d8, d1 in zip(dets8, dets1):
             np.testing.assert_array_equal(d8['x'], d1['x'])
             np.testing.assert_allclose(d8['conf'], d1['conf'], atol=1e-4)
+
+    def test_max_gap_3(self, setup):
+        """MCF_MAX_NUM_MISSES=2 needs lookback gaps 1..3: the sharded
+        association must produce gap-3 pairs (regression: max_gap was
+        hardcoded to 2, silently dropping gap>=3 transition edges)."""
+        P, frames_u16, mask, model, variables = setup
+        mesh = make_mesh(n_data=4, n_model=1, devices=jax.devices()[:4])
+        dets, dists, ok = longmovie.long_movie_pipeline(
+            mesh, model, variables, P, frames_u16, mask, max_dets=MAXD,
+            window=64, max_sweeps=8, var_scalar=1.0, max_gap=3)
+        assert ok.all()
+        want = {(s + g, g) for s in range(N_FRAMES) for g in (1, 2, 3)
+                if s + g < N_FRAMES}
+        assert set(dists) == want
+        # gap-1/2 matrices must be identical to the max_gap=2 run
+        _, dists2, _ = run(setup, 4)
+        for k in dists2:
+            np.testing.assert_array_equal(dists[k], dists2[k])
