@@ -29,7 +29,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-INF = jnp.float32(1e9)
+# np.float32 (NOT jnp): a module-level jnp constant would initialize the
+# XLA backend at import time, which breaks jax.distributed.initialize()
+# on pods (it must run before any backend init)
+INF = np.float32(1e9)
 
 
 def _row_relax(d_row, passable_row):

@@ -8,9 +8,10 @@ any device query; after that the same mesh/sharding code works unchanged —
 inter-host collectives over DCN and intra-host ones over ICI
 (SURVEY.md §2.3/§5: distributed communication backend).
 
-This repo's CI has one chip, so these helpers are exercised only in the
-degenerate single-process form; they are the documented entry point for
-pod-scale deployments.
+No TPU pod exists in this repo's CI, but the full multi-process mechanics
+(rendezvous, cross-process collectives, sharded train step) are exercised
+by a real two-process CPU run in tests/test_multihost2.py; the degenerate
+single-process form is covered in tests/test_parallel.py.
 """
 import jax
 
@@ -39,6 +40,14 @@ def init_distributed(coordinator_address=None, num_processes=None,
     if not already:
         try:
             if explicit:
+                # CPU multi-process needs a cross-process collectives
+                # backend (gloo); on TPU pods the option is unused. Must
+                # be set before the backend initializes.
+                try:
+                    jax.config.update(
+                        'jax_cpu_collectives_implementation', 'gloo')
+                except Exception:
+                    pass        # older jax: no such option
                 jax.distributed.initialize(
                     coordinator_address=coordinator_address,
                     num_processes=num_processes, process_id=process_id)
