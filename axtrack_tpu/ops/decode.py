@@ -85,7 +85,11 @@ def distance_nms(conf, x, y, valid, radius):
     ran 1024 dependent scalar-indexed steps inside the fused program.
     """
     n = conf.shape[0]
-    r2 = jnp.round(jnp.asarray(radius, jnp.float32) ** 2).astype(jnp.int32)
+    # integer d2 vs CEIL(r^2): dist < radius <=> d2 < ceil(r^2) for integer
+    # d2 (round() would miss e.g. r=3.5: round(12.25)=12 excludes d2=12,
+    # dist ~3.464 < 3.5; ceil keeps the comparison exact for fractional
+    # radii and is identical for integer ones)
+    r2 = jnp.ceil(jnp.asarray(radius, jnp.float32) ** 2).astype(jnp.int32)
     xi = x.astype(jnp.int32)
     yi = y.astype(jnp.int32)
     pos = jnp.arange(n)

@@ -97,3 +97,23 @@ def cap_confidences(confs, method):
     else:
         raise ValueError(f'unknown capping method {method!r}')
     return confs
+
+
+def observation_setup(frame_dets, params):
+    """Shared per-detection cost preamble for every tracker variant.
+
+    (obs_all, offsets, counts): flattened observation costs over all
+    frames' detections (confidences capped per MCF_CONF_CAPPING_METHOD),
+    the per-frame offset table into that flat array, and per-frame counts.
+    One definition keeps the exact MCF path (tracker.assign_identities)
+    and the online trackers (lap_device) from drifting apart.
+    """
+    counts = [len(fd['conf']) for fd in frame_dets]
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(int)
+    n_dets = int(offsets[-1])
+    all_conf = np.concatenate(
+        [np.asarray(fd['conf'], np.float64) for fd in frame_dets]) \
+        if n_dets else np.zeros(0)
+    capped = cap_confidences(all_conf, params['MCF_CONF_CAPPING_METHOD'])
+    obs_all = observation_costs(capped, params['MCF_MAX_CONF_COST'])
+    return obs_all, offsets, counts

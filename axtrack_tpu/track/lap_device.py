@@ -24,9 +24,9 @@ from . import costs as C
 BIG = 1e9
 
 
-@partial(jax.jit, static_argnames=('n_iters', 'n_phases'))
+@partial(jax.jit, static_argnames=('n_iters', 'n_phases', 'scale'))
 def auction_lap(cost, row_valid, col_valid, eps=1e-3, n_iters=4000,
-                n_phases=6):
+                n_phases=6, scale=True):
     """Epsilon-optimal min-cost assignment via Jacobi auction with
     epsilon scaling (each phase reruns the auction at eps/4 starting from
     the previous phase's prices — the standard fix for price-war
@@ -36,6 +36,14 @@ def auction_lap(cost, row_valid, col_valid, eps=1e-3, n_iters=4000,
       cost: f32[N, M]; entries > BIG/2 are forbidden.
       row_valid/col_valid: bool masks for padded rows/cols.
       eps: final bidding increment (optimality gap <= N*eps).
+      scale: run the eps-scaling phase schedule. Scaling carries PRICES
+        across phases while resetting assignments, so its correctness
+        argument needs every positively-priced object to end up owned —
+        true for the (effectively) square problems this solver is used on.
+        For rectangular problems with structurally-unassigned objects
+        (auction_lap_fallback's virtual columns), pass scale=False: one
+        phase at the target eps from zero prices keeps the
+        "positive price => owned" invariant and hence eps-optimality.
 
     Returns i32[N]: assigned column per row, -1 = unassigned. Invalid rows
     stay -1; forbidden pairs are never assigned.
@@ -55,7 +63,9 @@ def auction_lap(cost, row_valid, col_valid, eps=1e-3, n_iters=4000,
 
         def cond(state):
             assign, owner, prices_, it = state
-            unassigned = (assign < 0) & row_valid
+            # rows with an all-forbidden cost row can never assign — they
+            # must not keep the loop spinning to n_iters
+            unassigned = (assign < 0) & row_valid & feasible_row
             return jnp.any(unassigned) & (it < n_iters)
 
         def body(state):
@@ -103,11 +113,56 @@ def auction_lap(cost, row_valid, col_valid, eps=1e-3, n_iters=4000,
             cond, body, (assign0, owner0, prices, jnp.int32(0)))
         return prices, assign
 
-    # epsilon schedule: spread/2, /4 each phase, floored at the target eps
-    phase_epss = jnp.maximum(
-        spread / 2 * (0.25 ** jnp.arange(n_phases, dtype=jnp.float32)), eps)
+    if scale:
+        # epsilon schedule: spread/2, /4 each phase, floored at target eps
+        phase_epss = jnp.maximum(
+            spread / 2 * (0.25 ** jnp.arange(n_phases, dtype=jnp.float32)),
+            eps)
+    else:
+        phase_epss = jnp.full((1,), eps, jnp.float32)
     prices, assigns = jax.lax.scan(run_phase, jnp.zeros(M), phase_epss)
     return assigns[-1]
+
+
+@partial(jax.jit, static_argnames=('n_iters', 'n_phases'))
+def auction_lap_fallback(cost, person_valid, obj_valid, fallback_cost,
+                         eps=1e-3, n_iters=4000, n_phases=6):
+    """Auction where every person has a PRIVATE outside option.
+
+    cost: f32[P, O] (entries > BIG/2 forbidden); fallback_cost: f32[P] —
+    the cost of person p staying unassigned (for tracking: a detection
+    opening a new track instead of extending one; must be < BIG/2 for
+    valid persons). Returns i32[P]: object per person, -1 = took the
+    fallback. Invalid persons stay -1; forbidden pairs and invalid
+    objects are never assigned.
+
+    Why a separate entry point: the plain auction never terminates
+    meaningfully when feasible ROWS outnumber COLUMNS — two bidders with
+    one object apiece kick each other with floored, benefit-independent
+    bids until the iteration cap, and the winner is decided by iteration
+    parity instead of cost. The fix is to make the problem FEASIBLE by
+    materializing each person's outside option as a private VIRTUAL
+    object (feasible for that person only) and solving single-phase from
+    zero prices (see auction_lap's ``scale`` doc) — the classic
+    termination and eps-optimality guarantees then apply unchanged. In
+    the tracker the SLOTS are the many side, so track_scan / track_host
+    call this transposed: detections bid for slots.
+    """
+    P, O = cost.shape
+    fb = jnp.asarray(fallback_cost, cost.dtype)
+    virt = jnp.full((P, P), BIG, cost.dtype).at[
+        jnp.arange(P), jnp.arange(P)].set(fb)
+    cost_aug = jnp.concatenate([cost, virt], axis=1)     # [P, O + P]
+    col_valid = jnp.concatenate([obj_valid, person_valid])
+    # scale=False: the augmented problem is rectangular (O + P objects for
+    # P persons), so most objects end unassigned; price carryover across
+    # scaling phases would leave unowned objects with stale positive
+    # prices, which voids the eps-CS duality bound and in practice pushes
+    # near-indifferent persons onto their virtual column (losing real
+    # matches). One phase from zero prices at the target eps is sound.
+    a = auction_lap(cost_aug, person_valid, col_valid, eps=eps,
+                    n_iters=n_iters, scale=False)
+    return jnp.where(a >= O, -1, a)
 
 
 @partial(jax.jit, static_argnames=('max_gap',))
@@ -160,15 +215,19 @@ def track_scan(obs, valid, dist, max_gap, miss_rate, edge_thr,
         new_cost = 2.0 * entry_exit_cost + obs_t
         row = jnp.where(row >= new_cost[None, :], BIG, row)
 
-        assign = auction_lap(row, active, valid_t)     # i32[S]
-        won = assign >= 0
+        # DETECTIONS bid for slots (transposed): every detection has the
+        # private "open a new track" fallback, so the auction is feasible
+        # per person and the best track extension wins even when many
+        # slots compete for few detections
+        det_slot = auction_lap_fallback(row.T, valid_t, active,
+                                        new_cost)      # i32[D], -1 = new
+        matched = (det_slot >= 0) & valid_t
+        slot_det = jnp.full(S, -1, jnp.int32).at[
+            jnp.where(matched, det_slot, S)].set(
+                jnp.arange(D, dtype=jnp.int32), mode='drop')
+        won = slot_det >= 0
         last_frame = jnp.where(won, t, last_frame)
-        last_det = jnp.where(won, assign, last_det)
-
-        det_slot = jnp.full(D, -1, jnp.int32).at[
-            jnp.where(won, assign, D)].set(jnp.arange(S, dtype=jnp.int32),
-                                           mode='drop')
-        matched = det_slot >= 0
+        last_det = jnp.where(won, slot_det, last_det)
 
         # open new tracks on free slots for unmatched valid dets
         free = last_frame < (t - G)
@@ -228,15 +287,10 @@ class OnlineTracker:
         if T == 0:
             return []
         G = P['MCF_MAX_NUM_MISSES'] + 1
-        counts = [len(fd['conf']) for fd in frame_dets]
+        obs_all, offsets, counts = C.observation_setup(frame_dets, P)
         D = 8
         while D < max(counts + [1]):
             D *= 2
-        all_conf = np.concatenate([fd['conf'] for fd in frame_dets]) \
-            if sum(counts) else np.zeros(0)
-        capped = C.cap_confidences(all_conf, P['MCF_CONF_CAPPING_METHOD'])
-        obs_all = C.observation_costs(capped, P['MCF_MAX_CONF_COST'])
-        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(int)
 
         obs = np.full((T, D), BIG, np.float32)
         valid = np.zeros((T, D), bool)
@@ -271,12 +325,7 @@ class OnlineTracker:
         frame) — kept as the parity oracle for track_scan."""
         P = self.P
         max_gap = P['MCF_MAX_NUM_MISSES'] + 1
-        all_conf = np.concatenate([fd['conf'] for fd in frame_dets]) \
-            if frame_dets else np.zeros(0)
-        capped = C.cap_confidences(all_conf, P['MCF_CONF_CAPPING_METHOD'])
-        obs_all = C.observation_costs(capped, P['MCF_MAX_CONF_COST'])
-        offsets = np.concatenate(
-            [[0], np.cumsum([len(fd['conf']) for fd in frame_dets])])
+        obs_all, offsets, _ = C.observation_setup(frame_dets, P)
 
         trajectories = []
         # active: list of (traj_idx, last_frame, last_det_idx)
@@ -311,28 +360,36 @@ class OnlineTracker:
                 Nr, Mc = cost.shape
                 pad_r = max(8 - Nr % 8, 0) if Nr % 8 else 0
                 pad_c = max(8 - Mc % 8, 0) if Mc % 8 else 0
+                # transposed fallback auction, like track_scan: detections
+                # bid for track slots with the new-track outside option
                 cost_p = np.pad(cost, ((0, pad_r), (0, pad_c)),
                                 constant_values=BIG)
-                rv = np.zeros(Nr + pad_r, bool); rv[:Nr] = True
-                cv = np.zeros(Mc + pad_c, bool); cv[:Mc] = True
-                assign = np.asarray(auction_lap(
-                    jnp.asarray(cost_p, jnp.float32), jnp.asarray(rv),
-                    jnp.asarray(cv)))[:Nr]
+                pv = np.zeros(Mc + pad_c, bool); pv[:Mc] = True
+                ov = np.zeros(Nr + pad_r, bool); ov[:Nr] = True
+                fb = np.full(Mc + pad_c, BIG, np.float32)
+                fb[:Mc] = new_cost
+                det_slot = np.asarray(auction_lap_fallback(
+                    jnp.asarray(cost_p.T, jnp.float32), jnp.asarray(pv),
+                    jnp.asarray(ov), jnp.asarray(fb)))[:Mc]
             else:
-                assign = np.full(len(cands), -1, int)
+                det_slot = np.full(n_det, -1, int)
 
+            slot_det = {int(k): j for j, k in enumerate(det_slot)
+                        if 0 <= k < len(cands)}
             taken = set()
             still_active = []
             for k, (traj_i, lf, ld) in enumerate(cands):
-                j = int(assign[k]) if k < len(assign) else -1
+                j = slot_det.get(k, -1)
                 if j >= 0 and j < n_det and j not in taken:
                     trajectories[traj_i].append((t, j))
                     still_active.append((traj_i, t, j))
                     taken.add(j)
                 else:
                     still_active.append((traj_i, lf, ld))
-            # keep non-candidate actives (too old) out; cands updated
-            active = still_active + [a for a in active if a not in cands]
+            # non-candidate actives are permanently too old (last_frame
+            # never rewinds) — drop them, else `active` grows with every
+            # track ever opened and each frame rescans the full history
+            active = still_active
 
             # every unmatched detection opens a track (online variant:
             # identities for all detections; downstream confidence

@@ -41,7 +41,6 @@ def mot_metrics(gt_df, pred_df, distth):
     pred = _frames_dict(pred_df)
     frames = sorted(set(gt) | set(pred))
 
-    matches_prev = {}        # gt id -> pred id from previous frame
     num_misses = num_fp = num_switches = num_matches = 0
     num_fragmentations = 0
     num_transfer = num_ascend = num_migrate = 0
@@ -70,9 +69,13 @@ def mot_metrics(gt_df, pred_df, distth):
                 if d <= distth:
                     D[i, j] = d
 
-        # 1) keep previous matches still valid
+        # 1) carry over the LAST-KNOWN correspondence per gt object —
+        # persistent across frames where the object was absent or missed,
+        # exactly like py-motmetrics' self.m (carrying only the previous
+        # frame's matches re-matches reappearing objects from scratch and
+        # counts spurious SWITCHes when a different hypothesis is closer)
         matches = {}
-        for g, p in matches_prev.items():
+        for g, p in last_match_of_gt.items():
             if g in gts and p in prs:
                 i, j = g_ids.index(g), p_ids.index(p)
                 if np.isfinite(D[i, j]):
@@ -124,7 +127,6 @@ def mot_metrics(gt_df, pred_df, distth):
                 if g in ever_matched:
                     frag_pending.add(g)
         num_fp += len(p_ids) - len(set(matches.values()) & set(p_ids))
-        matches_prev = matches
 
     num_gt = sum(gt_frames_per_track.values())
     num_pred = len(pred_df)

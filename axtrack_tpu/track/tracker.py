@@ -53,15 +53,8 @@ def assign_identities(frame_dets, astar_dists, params, vis_feats=None):
     """
     max_px = 500
     n_frames = len(frame_dets)
-    counts = [len(fd['conf']) for fd in frame_dets]
-    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(int)
+    obs, offsets, counts = C.observation_setup(frame_dets, params)
     n_dets = int(offsets[-1])
-
-    all_conf = np.concatenate([np.asarray(fd['conf'], np.float64)
-                               for fd in frame_dets]) if n_dets else \
-        np.zeros(0)
-    capped = C.cap_confidences(all_conf, params['MCF_CONF_CAPPING_METHOD'])
-    obs = C.observation_costs(capped, params['MCF_MAX_CONF_COST'])
 
     src = 2 * n_dets
     snk = 2 * n_dets + 1
@@ -84,20 +77,26 @@ def assign_identities(frame_dets, astar_dists, params, vis_feats=None):
                 continue
             vis_sim = None
             w = params['MCF_VIS_SIM_WEIGHT']
-            if w and vis_feats is not None:
+            if w:
+                if vis_feats is None:
+                    # computing -log((1-w)*closeness + 0) here would
+                    # silently inflate every transition cost by the
+                    # missing appearance term — refuse instead
+                    raise ValueError(
+                        'MCF_VIS_SIM_WEIGHT > 0 requires vis_feats '
+                        '(per-frame appearance histograms); got None')
                 vis_sim = C.bhattacharyya_similarity(vis_feats[tb],
                                                      vis_feats[t])
             cost = C.transition_costs(d, params['MCF_MISS_RATE'], gap,
                                       max_px, vis_sim, w)
             keep = np.isfinite(cost) & (cost <= params['MCF_EDGE_COST_THR'])
             pi, ci = np.nonzero(keep)
-            for p, c_ in zip(pi, ci):
-                gp = offsets[tb] + p
-                gc = offsets[t] + c_
-                ef.append(2 * gp + 1)
-                et.append(2 * gc)
-                ec.append(cost[p, c_])
-                trans_edge_meta.append((gp, gc))
+            gp = offsets[tb] + pi
+            gc = offsets[t] + ci
+            ef.extend(2 * gp + 1)
+            et.extend(2 * gc)
+            ec.extend(cost[pi, ci])
+            trans_edge_meta.extend(zip(gp.tolist(), gc.tolist()))
 
     flow_val, flow, total_cost = native.solve_tracking_mcf(
         2 * n_dets + 2, np.asarray(ef), np.asarray(et), np.asarray(ec),

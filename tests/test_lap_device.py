@@ -4,7 +4,9 @@ import pytest
 import jax.numpy as jnp
 from scipy.optimize import linear_sum_assignment
 
-from axtrack_tpu.track.lap_device import auction_lap, OnlineTracker, BIG
+from axtrack_tpu.track.lap_device import (auction_lap,
+                                          auction_lap_fallback,
+                                          OnlineTracker, BIG)
 
 
 def solve(cost, eps=1e-3):
@@ -124,3 +126,73 @@ class TestScanTracker:
     def test_empty_movie(self):
         trk = OnlineTracker(self._params())
         assert trk.track([], {}) == []
+
+
+class TestAuctionAsymmetric:
+    """More feasible bidders than objects: the plain auction cannot decide
+    this by cost (kick-cycles until the iteration cap), which is why the
+    trackers use the transposed fallback auction — every person carries a
+    private outside option, so the best bidder wins and the rest give up."""
+
+    def test_two_persons_one_object_better_wins(self):
+        cost = np.full((8, 8), BIG, np.float32)
+        cost[0, 0] = 5.0              # worse extension
+        cost[1, 0] = 1.0              # better extension
+        pv = np.zeros(8, bool); pv[:2] = True
+        ov = np.zeros(8, bool); ov[0] = True
+        fb = np.full(8, 10.0, np.float32)
+        a = np.asarray(auction_lap_fallback(
+            jnp.asarray(cost), jnp.asarray(pv), jnp.asarray(ov),
+            jnp.asarray(fb)))
+        assert a[1] == 0, a
+        assert a[0] == -1, a
+
+    def test_three_persons_one_object(self):
+        cost = np.full((8, 8), BIG, np.float32)
+        cost[0, 0], cost[1, 0], cost[2, 0] = 3.0, 0.5, 2.0
+        pv = np.zeros(8, bool); pv[:3] = True
+        ov = np.zeros(8, bool); ov[0] = True
+        fb = np.full(8, 10.0, np.float32)
+        a = np.asarray(auction_lap_fallback(
+            jnp.asarray(cost), jnp.asarray(pv), jnp.asarray(ov),
+            jnp.asarray(fb)))
+        assert a[1] == 0 and a[0] == -1 and a[2] == -1, a
+
+    def test_fallback_cheaper_than_object(self):
+        cost = np.full((8, 8), BIG, np.float32)
+        cost[0, 0] = 5.0
+        pv = np.zeros(8, bool); pv[0] = True
+        ov = np.zeros(8, bool); ov[0] = True
+        fb = np.full(8, 2.0, np.float32)       # opening new is cheaper
+        a = np.asarray(auction_lap_fallback(
+            jnp.asarray(cost), jnp.asarray(pv), jnp.asarray(ov),
+            jnp.asarray(fb)))
+        assert a[0] == -1, a
+
+    def test_matches_hungarian_with_expensive_fallback(self):
+        rng = np.random.default_rng(7)
+        for _ in range(3):
+            cost = rng.random((8, 8)).astype(np.float32)
+            pv = np.ones(8, bool); ov = np.ones(8, bool)
+            fb = np.full(8, 100.0, np.float32)  # never preferable
+            a = np.asarray(auction_lap_fallback(
+                jnp.asarray(cost), jnp.asarray(pv), jnp.asarray(ov),
+                jnp.asarray(fb), eps=1e-4))
+            assert (a >= 0).all() and len(set(a.tolist())) == 8
+            ri, ci = linear_sum_assignment(cost)
+            opt = cost[ri, ci].sum()
+            got = cost[np.arange(8), a].sum()
+            assert got <= opt + 8 * 1e-4 + 1e-5
+
+    def test_all_forbidden_row_terminates_unassigned(self):
+        """A valid row whose whole cost row is forbidden must not spin the
+        plain auction to n_iters (regression: cond ignored feasibility)
+        and stays unassigned."""
+        cost = np.full((8, 8), BIG, np.float32)
+        cost[1, 1] = 1.0
+        rv = np.ones(8, bool)
+        cv = np.ones(8, bool)
+        a = np.asarray(auction_lap(jnp.asarray(cost), jnp.asarray(rv),
+                                   jnp.asarray(cv)))
+        assert a[1] == 1
+        assert (np.delete(a, 1) == -1).all(), a

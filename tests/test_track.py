@@ -185,3 +185,25 @@ class TestTracker:
         res = assign_identities(frames, {}, self._params(
             MCF_MIN_FLOW=0, MCF_CONF_CAPPING_METHOD='ceil'))
         assert len(res.trajectories) == 0
+
+
+class TestMotMetricsCarryover:
+    def _df(self, rows):
+        df = pd.DataFrame(rows, columns=['FrameId', 'Id', 'X', 'Y'])
+        df['Width'] = 70
+        df['Height'] = 70
+        return df.set_index(['FrameId', 'Id'])
+
+    def test_reappearing_object_keeps_correspondence(self):
+        """py-motmetrics semantics: the gt->pred correspondence persists
+        across frames where the object is absent; on reappearance the old
+        hypothesis is preferred even when another one is CLOSER, and no
+        SWITCH is counted (regression: carryover only spanned one frame)."""
+        # gt object 0: frames 0, 2 (absent in 1)
+        gt = self._df([(0, 0, 0, 0), (2, 0, 0, 0)])
+        # pred 7 matches in frame 0; in frame 2 both 7 (dist 10^2) and a
+        # closer 9 (dist 0) are present
+        pred = self._df([(0, 7, 0, 0), (2, 7, 10, 0), (2, 9, 0, 0)])
+        res = mot_metrics(gt, pred, distth=529)
+        assert res['num_switches'] == 0
+        assert res['num_matches'] == 2
