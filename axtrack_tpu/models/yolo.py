@@ -10,10 +10,13 @@ bfloat16 compute with float32 params/statistics, and a
 ``detect_axons``-equivalent jitted apply for batched tile inference.
 
 Custom backbones 'mobilenet'/'alexnet'/'resnet' (model.py:55-83) are
-supported as architecture strings building equivalent flax feature stacks
-(randomly initialized — no pretrained torchvision weights on TPU).
+supported as architecture strings building EXACT flax ports of the
+reference-modified torchvision feature stacks (models/backbones.py);
+weights are randomly initialized offline, and
+torch_convert.backbone_state_dict_to_flax loads real torchvision weights
+when a checkpoint is available.
 """
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -66,20 +69,14 @@ class CNNBlock(nn.Module):
         return make_activation(self.activation)(x)
 
 
-def _backbone_spec(name):
-    """Conv specs (kernel, out_c, stride, groups) approximating the
-    reference's modified pretrained feature stacks (model.py:55-83)."""
-    if name == 'alexnet':
-        return [(3, 64, 2, 1), 'M', (5, 192, 1, 1), 'M',
-                (3, 384, 1, 1), (3, 256, 1, 1), (3, 256, 1, 1), 'M']
-    if name == 'mobilenet':
-        return [(3, 16, 2, 1), (3, 64, 2, 1), (3, 128, 2, 1),
-                (3, 128, 1, 1), (3, 256, 2, 1), (3, 256, 1, 1)]
-    if name == 'resnet':
-        return [(3, 64, 2, 1), 'M', (3, 64, 1, 1), (3, 64, 1, 1),
-                (3, 128, 2, 1), (3, 128, 1, 1), (3, 256, 2, 1),
-                (3, 256, 1, 1), (3, 512, 2, 1), (3, 512, 1, 1)]
-    raise ValueError(f'unknown backbone {name!r}')
+def _backbone(name, dtype):
+    """Exact flax port of the reference-modified torchvision feature stack
+    (model.py:55-83) — see models/backbones.py for the layer-for-layer
+    derivation (incl. which of the reference's attribute edits are real)."""
+    from .backbones import BACKBONES
+    if name not in BACKBONES:
+        raise ValueError(f'unknown backbone {name!r}')
+    return BACKBONES[name](dtype=dtype, name='backbone')
 
 
 class YOLOAxTrack(nn.Module):
@@ -94,30 +91,36 @@ class YOLOAxTrack(nn.Module):
     Sy: int = 12
     Sx: int = 12
     dtype: Any = jnp.float32
+    # FC-head compute dtype; None = follow ``dtype``. The conv stack holds
+    # ~97% of the FLOPs (2.6 GFLOP/tile vs the head's 0.1), so
+    # dtype=bfloat16 + fc_dtype=float32 keeps nearly all of the MXU bf16
+    # speed while the confidence head — whose near-threshold rounding flips
+    # are what detection parity is sensitive to — stays in f32.
+    fc_dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         arch = self.architecture
         if isinstance(arch, str):
-            conv_spec: Sequence = _backbone_spec(arch)
             fc_spec = [('FC', 1024), ('activation', 'sigmoid'),
                        ('FC', 1024), ('activation', 'sigmoid')]
+            x = _backbone(arch, self.dtype)(x.astype(self.dtype), train)
         else:
             conv_spec, fc_spec = arch[0], arch[1]
+            x = x.astype(self.dtype)
+            for layer in conv_spec:
+                if layer == 'M':
+                    x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                else:
+                    k, out_c, stride, groups = layer
+                    x = CNNBlock(out_c, k, stride, groups, self.activation,
+                                 dtype=self.dtype)(x, train)
 
-        x = x.astype(self.dtype)
-        for layer in conv_spec:
-            if layer == 'M':
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
-            else:
-                k, out_c, stride, groups = layer
-                x = CNNBlock(out_c, k, stride, groups, self.activation,
-                             dtype=self.dtype)(x, train)
-
+        fc_dtype = self.dtype if self.fc_dtype is None else self.fc_dtype
         x = x.reshape(x.shape[0], -1).astype(jnp.float32)
         for element_type, param in fc_spec:
             if element_type == 'FC':
-                x = nn.Dense(param, dtype=self.dtype,
+                x = nn.Dense(param, dtype=fc_dtype,
                              param_dtype=jnp.float32)(x)
                 x = x.astype(jnp.float32)
             elif element_type == 'dropout':
@@ -140,12 +143,12 @@ def initial_in_channels(params):
     return per_frame * (params['TEMPORAL_CONTEXT'] * 2 + 1)
 
 
-def build_model(params, dtype=jnp.float32):
+def build_model(params, dtype=jnp.float32, fc_dtype=None):
     return YOLOAxTrack(architecture=params['ARCHITECTURE'],
                        activation=params['ACTIVATION_FUNCTION'],
                        tilesize=params['TILESIZE'],
                        Sy=params['SY'], Sx=params['SX'],
-                       dtype=dtype)
+                       dtype=dtype, fc_dtype=fc_dtype)
 
 
 def init_variables(model, params, seed=0):

@@ -97,7 +97,7 @@ def _row_relax(c, k, W):
 
 
 def _chamfer_kernel(src_ref, crop_ref, d_ref, *, window, max_sweeps,
-                    block, init_ref=None):
+                    block, init_ref=None, rb=64):
     """One program: distance maps for ``block`` sources.
 
     src_ref: SMEM i32[N_total, 2] local (y, x) of every source (scalar
@@ -134,7 +134,11 @@ def _chamfer_kernel(src_ref, crop_ref, d_ref, *, window, max_sweeps,
     # measured ~17% faster than 32 at window 512 (128 is a wash with
     # longer compiles); halve until it divides the window (windows are
     # only guaranteed multiples of 8 when capped by a small frame).
-    RB = 64
+    # Results are RB-invariant (the carry crosses slab boundaries), so
+    # interpret mode passes rb=8: the unrolled slab body (RB rows x
+    # ~4*log2(W) vector ops, x2 directions) at RB=64/W=1024 is large
+    # enough to segfault XLA-CPU's compiler thread (fixed 8MB stack).
+    RB = rb
     while W % RB:
         RB //= 2
     n_blocks = W // RB
@@ -226,16 +230,17 @@ def _launch(local, crops, window, max_sweeps, interpret, init=None):
     Np = crops.shape[0]
     B = _src_block(window)
     grid = Np // B
+    rb = 8 if interpret else 64     # see RB comment in _chamfer_kernel
     blk = pl.BlockSpec((B, window, window), lambda i, s: (i, 0, 0))
     in_specs = [blk] + ([blk] if init is not None else [])
     args = (local, crops) + ((init,) if init is not None else ())
     return pl.pallas_call(
         partial(_chamfer_kernel, window=window, max_sweeps=max_sweeps,
-                block=B)
+                block=B, rb=rb)
         if init is None else
         (lambda src_ref, crop_ref, init_ref, d_ref: _chamfer_kernel(
             src_ref, crop_ref, d_ref, window=window, max_sweeps=max_sweeps,
-            block=B, init_ref=init_ref)),
+            block=B, init_ref=init_ref, rb=rb)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(grid,),

@@ -17,6 +17,9 @@ import numpy as np
 
 
 def detections_for(dtype_name):
+    import time
+
+    import jax
     import jax.numpy as jnp
     import axtrack_tpu as axtrack
     from axtrack_tpu.models.yolo import build_model
@@ -29,6 +32,9 @@ def detections_for(dtype_name):
     module, variables = model
     if dtype_name == 'bf16':
         module = build_model(parameters, dtype=jnp.bfloat16)
+    elif dtype_name == 'mixed':   # bf16 convs (97% of FLOPs), f32 FC head
+        module = build_model(parameters, dtype=jnp.bfloat16,
+                             fc_dtype=jnp.float32)
 
     timelapse = axtrack.prepare_input_data(
         'example_timelapse.tif', parameters, dest_dir, inference_data_dir,
@@ -38,36 +44,46 @@ def detections_for(dtype_name):
                         'name': f'parity_{dtype_name}'})
     ax = AxonDetections((module, variables), timelapse, parameters,
                         directory=None)
+    t0 = time.perf_counter()
     ax.detect_dataset()
+    dt = time.perf_counter() - t0
     pts = set()
     for t in range(len(ax)):
         df = ax.get_frame_dets('confident', t)
         for x, y in zip(np.asarray(df['anchor_x']),
                         np.asarray(df['anchor_y'])):
             pts.add((t, int(x), int(y)))
-    return pts
+    return pts, dt
 
 
 def main():
-    sets = {n: detections_for(n) for n in ('f32', 'bf16')}
-    union = len(sets['f32'] | sets['bf16'])
-    inter = len(sets['f32'] & sets['bf16'])
+    modes = os.environ.get('PARITY_MODES', 'f32,bf16,mixed').split(',')
+    results = {n: detections_for(n) for n in modes}
+    sets = {n: r[0] for n, r in results.items()}
+    times = {n: round(r[1], 3) for n, r in results.items()}
 
     def near(a, B):
         return any(b[0] == a[0] and abs(a[1] - b[1]) <= 1
                    and abs(a[2] - b[2]) <= 1 for b in B)
 
-    only_f32 = [p for p in sets['f32'] - sets['bf16']
-                if not near(p, sets['bf16'])]
-    only_bf16 = [p for p in sets['bf16'] - sets['f32']
-                 if not near(p, sets['f32'])]
-    mismatch = (len(only_f32) + len(only_bf16)) / max(union, 1)
-    print(json.dumps({
-        'n_dets_f32': len(sets['f32']), 'n_dets_bf16': len(sets['bf16']),
-        'exact_jaccard': round(inter / max(union, 1), 4),
-        'mismatch_after_1px': round(mismatch, 4),
-        'parity_ok': bool(mismatch <= 0.01),
-    }))
+    out = {'detect_s': times,
+           'n_dets': {n: len(s) for n, s in sets.items()}}
+    for name in modes:
+        if name == 'f32':
+            continue
+        union = len(sets['f32'] | sets[name])
+        inter = len(sets['f32'] & sets[name])
+        only_f32 = [p for p in sets['f32'] - sets[name]
+                    if not near(p, sets[name])]
+        only_oth = [p for p in sets[name] - sets['f32']
+                    if not near(p, sets['f32'])]
+        mismatch = (len(only_f32) + len(only_oth)) / max(union, 1)
+        out[name] = {
+            'exact_jaccard': round(inter / max(union, 1), 4),
+            'mismatch_after_1px': round(mismatch, 4),
+            'parity_ok': bool(mismatch <= 0.01),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':
