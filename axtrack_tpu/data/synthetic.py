@@ -100,6 +100,31 @@ def write_fixture(directory, name='synthetic_timelapse', **kwargs):
             'frames': frames, 'mask_arr': mask, 'labels_df': labels}
 
 
+def ensure_example_fixture(examples_dir, H=1280, W=2048, T=20, n_axons=10,
+                           seed=7, n_channels=5, force=False):
+    """(Re)generate the bundled example movie if absent.
+
+    The example inputs (~110 MB) are deterministic seeded draws, so they are
+    regenerated on demand rather than committed; the committed deployment
+    bundle (deployed_model/) and example render (examples/axon_dets/) were
+    produced from exactly this draw. Mirrors the reference's bundled
+    examples/example_timelapse.tif (examples/test.py:16-20; LFS-stripped in
+    the snapshot). Returns the tif path.
+    """
+    tif = os.path.join(examples_dir, 'example_timelapse.tif')
+    mask = os.path.join(examples_dir, 'example_timelapse_mask.npy')
+    if not force and os.path.exists(tif) and os.path.exists(mask):
+        return tif
+    fx = write_fixture(examples_dir, name='example_timelapse', T=T, H=H,
+                       W=W, n_axons=n_axons, seed=seed,
+                       n_channels=n_channels)
+    # the example flow treats the movie as unlabeled input; keep the truth
+    # aside under a name the pipeline does not pick up
+    os.replace(fx['labels'], os.path.join(
+        examples_dir, 'example_timelapse_true_labels.csv'))
+    return tif
+
+
 class OracleDetector:
     """Callable detector producing near-ground-truth YOLO grids — decouples
     pipeline tests (decode/NMS/tracking) from detector training quality.

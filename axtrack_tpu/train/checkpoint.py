@@ -19,15 +19,20 @@ def _to_numpy_tree(tree):
     return jax.tree.map(np.asarray, tree)
 
 
-def save_checkpoint(state, filename):
+def save_checkpoint(state, filename, include_opt=True):
     """Save model+optimizer+epoch (reference utils.py:258-263). ``filename``
-    becomes a checkpoint directory."""
+    becomes a checkpoint directory.
+
+    include_opt=False drops the optimizer state (2x the param bytes under
+    adam) — used for deployment bundles, which are inference-only and
+    committed to the repo."""
     print('=> Saving model checkpoint')
     path = os.path.abspath(filename)
     ckpt = {'params': _to_numpy_tree(state.params),
             'batch_stats': _to_numpy_tree(state.batch_stats),
-            'opt_state': _to_numpy_tree(state.opt_state),
             'epoch': state.epoch}
+    if include_opt:
+        ckpt['opt_state'] = _to_numpy_tree(state.opt_state)
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, ckpt, force=True)
 
@@ -40,7 +45,10 @@ def _restore(path, state):
                     'epoch': 0}
         try:
             ckpt = ckptr.restore(path, item=template)
-        except TypeError:
+        except Exception:
+            # template mismatch (e.g. an opt-state-free deployment bundle,
+            # include_opt=False) or older-orbax item signature: restore the
+            # tree as saved
             ckpt = ckptr.restore(path)
     state.params = jax.tree.map(jax.numpy.asarray, ckpt['params'])
     state.batch_stats = jax.tree.map(jax.numpy.asarray, ckpt['batch_stats'])

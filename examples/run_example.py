@@ -14,6 +14,11 @@ dest_dir = os.path.join(inference_data_dir, 'output')
 imseq_fname = 'example_timelapse.tif'
 mask_fname = 'example_timelapse_mask.npy'
 
+# the example movie is a deterministic seeded draw (~110 MB) — regenerate it
+# on demand instead of committing it
+from axtrack_tpu.data.synthetic import ensure_example_fixture
+ensure_example_fixture(inference_data_dir)
+
 parameters, model, stnd_scaler = axtrack.setup_inference(dest_dir)
 
 # adjust because example data is quite short (20 frames)

@@ -64,11 +64,8 @@ def main():
     # 2920x6364 is impractical for the CPU-runnable example, but the
     # stitching geometry is what matters)
     ex_H, ex_W = (512, 1024) if args.compact else (1280, 2048)
-    write_fixture(examples_dir, name='example_timelapse',
-                  T=20, H=ex_H, W=ex_W, n_axons=10, seed=7, n_channels=5)
-    # the example flow does not use the labels; drop to mimic unlabeled input
-    os.rename(os.path.join(examples_dir, 'example_timelapse_labels.csv'),
-              os.path.join(examples_dir, 'example_timelapse_true_labels.csv'))
+    from axtrack_tpu.data.synthetic import ensure_example_fixture
+    ensure_example_fixture(examples_dir, H=ex_H, W=ex_W, force=True)
 
     # 2) training movie (different seed = different data distribution draw)
     train_dir = os.path.join(examples_dir, '_train_data')
@@ -117,8 +114,11 @@ def main():
               'wb') as f:
         pickle.dump(train_data.stnd_scaler, f)
     state.epoch = args.epochs
+    # inference-only bundle: drop the optimizer state (2x the param bytes)
+    # so the committed deployed_model/ stays at the param footprint
     save_checkpoint(state, os.path.join(deployed_dir,
-                                        f'E{args.epochs:0>4}'))
+                                        f'E{args.epochs:0>4}'),
+                    include_opt=False)
     # preproc distribution reference for check_preproc
     from axtrack_tpu.utils import save_preproc_metrics
     if train_data.plot_data:

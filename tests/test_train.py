@@ -80,6 +80,21 @@ class TestEngine:
                         jax.tree.leaves(state2.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_checkpoint_roundtrip_no_opt(self, P, tmp_path):
+        """Deployment bundles are saved without optimizer state
+        (include_opt=False, 1/3 the bytes); loading one must restore
+        params/batch_stats/epoch and leave opt_state at its fresh init."""
+        state = engine.setup_model(P)
+        state.epoch = 9
+        save_checkpoint(state, str(tmp_path / 'E0009'), include_opt=False)
+        state2 = engine.setup_model(P)
+        load_checkpoint(str(tmp_path), state2)
+        assert state2.epoch == 9
+        import jax
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(state2.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_epoch_scan_compiles_once(self, P, data):
         """The device-resident epoch program must be traced exactly once
         across epochs (VERDICT r1: a fresh jit per epoch recompiled the
