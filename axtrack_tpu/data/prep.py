@@ -192,7 +192,14 @@ def merge_training_data(signals, masks, lbls):
         m = np.ones(sig.shape[1:], bool) if mask is None else mask.astype(bool)
         mask_frames.extend([m] * T)
         last_t += T
-        last_id += len(lbl.columns.unique(0))
+        # advance by max renumbered ID + 1, not the unique-column COUNT:
+        # per-labeller merges (merge_axon_label_files) leave ID ranges
+        # non-contiguous (e.g. 0-30 and 100-130), and a count-based offset
+        # would let a later movie's renumbered IDs collide with this one's
+        # and pd.concat would fuse two different axons into one column
+        ids = [int(''.join(ch for ch in str(ax) if ch.isdigit()) or 0)
+               for ax in lbl.columns.unique(0)]
+        last_id = (max(ids) + 1) if ids else last_id
     signal = np.concatenate([np.asarray(s, np.float32) for s in signals], 0)
     mask = np.stack(mask_frames, 0)
     labels = pd.concat(adj_lbls)

@@ -575,8 +575,13 @@ class Timelapse:
                               config_to_transform_params, transform_frames,
                               transform_anchors)
         wants_clean = force_no_transformation or not self.transform_configs
-        if (wants_clean and self.X_tiled is not None
-                and getattr(self, '_tiles_clean', False)):
+        # staged beyond-HBM datasets never materialize X_tiled — their
+        # "built" marker is the kept-tile index (ntiles_kept keys on the
+        # same), so key the reuse guard on it too or every detection call
+        # would redo the staged keep pass + whole-movie target scatter
+        built = (self.X_tiled is not None
+                 or (self._u16_staged and self._tile_flat_idx is not None))
+        if wants_clean and built and getattr(self, '_tiles_clean', False):
             return           # untransformed tiles already built — reuse
         self._tiles_clean = wants_clean
         target = self.target

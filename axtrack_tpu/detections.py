@@ -674,15 +674,27 @@ class AxonDetections:
             warnings.warn('sharded chamfer certificate failed on some '
                           'chips; distances may be over-reported — rerun '
                           'with a higher max_sweeps')
-        if any(len(d['conf']) >= max_dets for d in frame_dets[:T]):
+        # saturation must be judged PRE-NMS: decode filling all max_dets
+        # slots is what drops detections, and NMS usually thins the alive
+        # set below the cap afterwards, which would mask the condition
+        if any(d.get('n_decoded', len(d['conf'])) >= max_dets
+               for d in frame_dets[:T]):
             import warnings
             warnings.warn(f'a frame hit the sharded max_dets cap '
                           f'({max_dets}); results may drop detections vs '
                           f'the single-chip path')
 
         self._detections, self._det_tile_idx = [], []
-        self._yolo_targets = [np.asarray(ds.target_tiled[tp[t]])
-                              for t in range(T)]
+        if self.labelled:
+            # one batched gather + one fetch (a per-frame np.asarray costs
+            # a ~25-50ms tunnel round-trip EACH — _detect_fused's lesson)
+            targets = np.asarray(
+                jnp.asarray(ds.target_tiled)[jnp.asarray(tp[:T])])
+            self._yolo_targets = list(targets)
+        else:
+            # unlabelled inference: the GT grids are all-NaN scatters that
+            # nothing reads (labelled gates every consumer)
+            self._yolo_targets = [None] * T
         for t in range(T):
             d = frame_dets[t]
             det = pd.DataFrame({

@@ -155,14 +155,19 @@ def build_sharded_detector(mesh, model, variables, params, n_frames,
             dets = decode_tiled(grid, tyx, conf_thr, ts, max_dets=max_dets)
             alive = distance_nms(dets['conf'], dets['x'], dets['y'],
                                  dets['valid'], nms_r)
-            return dets['conf'], dets['x'], dets['y'], alive
+            # pre-NMS decode count: == max_dets iff the decode slots
+            # saturated (the only case where the sharded path can drop
+            # detections vs single-chip) — NMS may thin `alive` below the
+            # cap afterwards, so callers must not infer saturation from it
+            n_dec = dets['valid'].sum().astype(jnp.int32)
+            return dets['conf'], dets['x'], dets['y'], alive, n_dec
 
         return jax.lax.map(per_frame, jnp.arange(T_loc, dtype=jnp.int32))
 
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(P('data'), P(), P(), P()),
-        out_specs=(P('data'), P('data'), P('data'), P('data')),
+        out_specs=(P('data'),) * 5,
         check_rep=False)
     return jax.jit(fn)
 
@@ -322,17 +327,19 @@ def long_movie_pipeline(mesh, model, variables, params, frames_u16, mask,
     lead = jnp.asarray(lead_np)
     trail = jnp.asarray(trail_np)
     m = jnp.asarray(np.asarray(mask, bool))
-    conf, x, y, alive = detect(centers, lead, trail, m)
+    conf, x, y, alive, n_dec = detect(centers, lead, trail, m)
     D, ok = assoc(jnp.asarray(pad_mask_for_windows(mask, window)),
                   x, y, alive)
-    conf, x, y, alive, D = (np.asarray(a) for a in (conf, x, y, alive, D))
+    conf, x, y, alive, n_dec, D = (np.asarray(a) for a in
+                                   (conf, x, y, alive, n_dec, D))
 
     frame_dets = []
     for t in range(n_real):                   # pad-frame outputs discarded
         k = alive[t]
         frame_dets.append({'conf': conf[t][k].astype(np.float32),
                            'x': x[t][k].astype(np.int32),
-                           'y': y[t][k].astype(np.int32)})
+                           'y': y[t][k].astype(np.int32),
+                           'n_decoded': int(n_dec[t])})
     astar_dists = {}
     for s in range(n_real):
         for g in range(1, max_gap + 1):

@@ -26,6 +26,13 @@ pairs are shuffled WITHIN a chunk (locality-constrained shuffling, the
 standard webdataset/shard-shuffle compromise). With SHUFFLE=False the pair
 order is identical to the streaming loop over the same plan — the equality
 test (tests/test_bigmovie.py) exploits that.
+
+DROP_LAST semantics: chunk lengths are aligned so every non-tail chunk's
+pair count divides the batch size evenly — only the tail chunk carries a
+(< BATCH_SIZE) remainder, so at most BATCH_SIZE-1 pairs are dropped per
+EPOCH, like the in-memory loaders. (If the HBM budget allows fewer frames
+than the alignment step bs/gcd(K, bs), chunks fall back to the unaligned
+length and each may drop a remainder.)
 """
 import os
 
@@ -70,6 +77,15 @@ def plan_chunks(dataset, P, shuffle=None, chunk_budget=None):
                          - 1_200_000_000))
     C_t = max(1, min(T, budget // per_frame))
     bs = P['BATCH_SIZE']
+    if P['DROP_LAST'] and C_t < T:
+        # align the chunk length so each non-tail chunk's pair count
+        # (C_t * K) is a multiple of the batch size: DROP_LAST then drops
+        # only the tail chunk's < bs remainder (<= bs-1 pairs per EPOCH,
+        # matching the in-memory loaders) instead of <= bs-1 pairs per
+        # CHUNK, which would systematically under-train reshuffled tiles
+        step = bs // int(np.gcd(K, bs))      # smallest c with c*K % bs == 0
+        if step <= C_t:
+            C_t = (C_t // step) * step
     if shuffle is None:
         shuffle = P['SHUFFLE']
 

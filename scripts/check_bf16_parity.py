@@ -26,7 +26,9 @@ def detections_for(dtype_name):
     from axtrack_tpu.detections import AxonDetections
 
     import tempfile
+    from axtrack_tpu.data.synthetic import ensure_example_fixture
     inference_data_dir = f'{axtrack.PKG_DIR}/examples/'
+    ensure_example_fixture(inference_data_dir)
     dest_dir = tempfile.mkdtemp(prefix=f'bf16_parity_{dtype_name}_')
     parameters, model, stnd_scaler = axtrack.setup_inference(dest_dir)
     module, variables = model

@@ -100,3 +100,25 @@ class TestDataPrep:
         assert stack.shape[0] == 7
         labels = pd.read_csv(out['labels'], index_col=0, header=[0, 1])
         assert len(labels) == 7
+
+    def test_merge_noncontiguous_axon_ids(self):
+        # two-labeller merges leave ID ranges non-contiguous (e.g. 0-1 and
+        # 100-101); a count-based offset would renumber a later movie into
+        # the gap and pd.concat would fuse two different axons' columns
+        from axtrack_tpu.data.prep import merge_training_data
+        import pandas as pd
+
+        def lbl(ids, T):
+            cols = pd.MultiIndex.from_tuples(
+                [(f'Axon_{i:0>3}', a) for i in ids
+                 for a in ('anchor_x', 'anchor_y')])
+            return pd.DataFrame(np.ones((T, len(cols))), columns=cols)
+
+        sig = np.zeros((2, 8, 8), np.float32)
+        movie_a = lbl([0, 2, 100], 2)           # non-contiguous, max 100
+        movie_b = lbl([0, 1], 2)
+        _, _, merged = merge_training_data(
+            [sig, sig], [None, None], [movie_a, movie_b])
+        ids = merged.columns.unique(0)
+        assert len(ids) == 5, ids               # no column fused two axons
+        assert 'Axon_101' in ids and 'Axon_102' in ids
