@@ -41,12 +41,30 @@ def _get_params(num_workers=None, device=None, deployed_dir=None):
     return parameters
 
 
-def _get_model(parameters, print_params=False, deployed_dir=None):
+def _get_model(parameters, print_params=False, deployed_dir=None,
+               precision='f32'):
     parameters['LOAD_MODEL'] = deployed_dir or DEPLOYED_MODEL_DIR
     state = engine.setup_model(parameters)
+    module = state.model
+    if precision != 'f32':
+        # inference-only compute-dtype override: the checkpointed weights
+        # stay f32 (flax casts per-op), so this changes arithmetic only.
+        # 'mixed' = bf16 convs (~97% of FLOPs) + f32 FC head — measured
+        # 0.0% detection mismatch after 1px tolerance on the deployed
+        # bundle (scripts/check_bf16_parity.py) at ~2.5x detect speed on
+        # TPU; 'bf16' runs the whole net in bf16 (same 1px-parity, lower
+        # exact-pixel agreement).
+        import jax.numpy as jnp
+        from .models.yolo import build_model
+        if precision not in ('mixed', 'bf16'):
+            raise ValueError(f"precision must be 'f32', 'mixed' or 'bf16', "
+                             f"got {precision!r}")
+        module = build_model(
+            parameters, dtype=jnp.bfloat16,
+            fc_dtype=jnp.float32 if precision == 'mixed' else None)
     if print_params:
         print(params2text(parameters))
-    return (state.model, state.variables)
+    return (module, state.variables)
 
 
 def _get_train_data(parameters):
@@ -57,19 +75,24 @@ def _get_train_data(parameters):
 
 def setup_inference(dest_dir, print_params=False,
                     num_workers=DEFAULT_NUM_WORKERS, device=DEFAULT_DEVICE,
-                    deployed_dir=None):
+                    deployed_dir=None, precision='f32'):
     """Setup model and parameters for detecting axons
     (reference interface.py:38-77).
 
     Returns (parameters, model, stnd_scaler) where model is a
     (flax module, variables) pair and stnd_scaler e.g.
     ('zscore', (0.0151, 0.0094)).
+
+    ``precision``: 'f32' (reference numerics), 'mixed' (bf16 conv stack +
+    f32 FC head — ~2.5x faster detection on TPU, measured 0.0% detection
+    mismatch after 1px tolerance vs f32 on the deployed bundle), or
+    'bf16' (whole net).
     """
     deployed_dir = deployed_dir or DEPLOYED_MODEL_DIR
     parameters = _get_params(num_workers, device, deployed_dir)
     set_seed(parameters['SEED'])
     turn_tex('on')
-    model = _get_model(parameters, print_params, deployed_dir)
+    model = _get_model(parameters, print_params, deployed_dir, precision)
     scaler_fname = f'{deployed_dir}/train_stnd_scaler.pkl'
     stnd_scaler = get_data_standardization_scaler(scaler_fname)
     os.makedirs(dest_dir, exist_ok=True)

@@ -417,10 +417,16 @@ def main():
     frames, mask, labels = build_workload(T=n_frames)
 
     import jax.numpy as jnp
-    # BENCH_DTYPE: f32 (default) | bf16 (whole net) | mixed (bf16 convs —
-    # ~97% of the FLOPs — with the confidence-sensitive FC head in f32;
-    # parity per scripts/check_bf16_parity.py)
-    mode = os.environ.get('BENCH_DTYPE', '')
+    # BENCH_DTYPE: mixed (default: bf16 convs — ~97% of the FLOPs — with
+    # the confidence-sensitive FC head in f32) | f32 | bf16 (whole net).
+    # Mixed became the default once parity was MEASURED clean on the
+    # trained full-architecture deployed bundle: 0.0% detection mismatch
+    # after 1px tolerance, exact-pixel jaccard 0.971 (the sub-pixel coord
+    # regressions round the same), scripts/check_bf16_parity.py — well
+    # inside BASELINE.json's 1% criterion. The earlier 0.95%-mismatch
+    # number that kept f32 the default was full-bf16 on the compact
+    # 256px bundle; the full-arch net plus the f32 head is much tighter.
+    mode = os.environ.get('BENCH_DTYPE', 'mixed')
     dtype = jnp.bfloat16 if mode in ('bf16', 'mixed') else jnp.float32
     fc_dtype = jnp.float32 if mode == 'mixed' else None
     model = build_model(P, dtype=dtype, fc_dtype=fc_dtype)

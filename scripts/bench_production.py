@@ -45,18 +45,28 @@ def main():
     # and measures a workload the pipeline never sees); fall back to random
     # weights if the bundle hasn't been built (make deploy-model)
     from axtrack_tpu.config import DEPLOYED_MODEL_DIR
+    # BENCH_PRECISION: f32 | mixed (default — bf16 convs + f32 FC head,
+    # measured 0.0% detection mismatch after 1px on the deployed bundle,
+    # scripts/check_bf16_parity.py) | bf16
+    precision = os.environ.get('BENCH_PRECISION', 'mixed')
     scaler = ('zscore', None)
     if os.path.exists(os.path.join(DEPLOYED_MODEL_DIR, 'params.json')):
         import axtrack_tpu as axtrack
         import tempfile
         P, (model, variables), scaler = axtrack.setup_inference(
-            tempfile.mkdtemp(prefix='prod_bench_'))
-        print('# using trained deployed bundle', file=sys.stderr)
+            tempfile.mkdtemp(prefix='prod_bench_'), precision=precision)
+        print(f'# using trained deployed bundle (precision={precision})',
+              file=sys.stderr)
     else:
+        import jax.numpy as jnp
         P = get_default_parameters()
-        model = build_model(P)
+        model = build_model(
+            P,
+            dtype=jnp.float32 if precision == 'f32' else jnp.bfloat16,
+            fc_dtype=jnp.float32 if precision == 'mixed' else None)
         variables = init_variables(model, P, seed=0)
-        print('# deployed bundle absent: random weights', file=sys.stderr)
+        print(f'# deployed bundle absent: random weights '
+              f'(precision={precision})', file=sys.stderr)
     P['MCF_MIN_FLOW'] = 1
     P['MCF_MAX_FLOW'] = 200
 

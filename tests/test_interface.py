@@ -103,6 +103,50 @@ class TestInterface:
                 if f.endswith(('.gif', '.mp4'))]
         assert len(vids) == 1
 
+    def test_precision_modes(self, deployed, inference_fixture,
+                             tmp_path_factory):
+        """precision='mixed'/'bf16' swap the compute dtype only: same
+        weights, detections within 1px of the f32 run on the tiny bundle."""
+        import jax
+        import jax.numpy as jnp
+        data_dir, fx = inference_fixture
+        dets_by_mode = {}
+        for mode in ('f32', 'mixed', 'bf16'):
+            dest = str(tmp_path_factory.mktemp(f'prec_{mode}'))
+            parameters, model, stnd_scaler = axtrack_tpu.setup_inference(
+                dest, deployed_dir=deployed, precision=mode)
+            module, variables = model
+            want = jnp.float32 if mode == 'f32' else jnp.bfloat16
+            assert module.dtype == want
+            if mode == 'mixed':
+                assert module.fc_dtype == jnp.float32
+            # weights are shared/unchanged regardless of compute dtype
+            leaf = next(iter(
+                jax.tree_util.tree_leaves(variables['params'])))
+            assert leaf.dtype == jnp.float32
+            timelapse = axtrack_tpu.prepare_input_data(
+                'movie.tif', parameters, dest, data_dir, stnd_scaler,
+                mask_fname='movie_mask.npy', use_cached_datasets=None,
+                check_preproc=False, input_metadata={'name': 'movie'})
+            from axtrack_tpu.detections import AxonDetections
+            ax = AxonDetections(model, timelapse, parameters, directory=None)
+            ax.detect_dataset()
+            dets_by_mode[mode] = [
+                set(zip(np.asarray(d['anchor_x']) // 2,
+                        np.asarray(d['anchor_y']) // 2))
+                for d in (ax.get_frame_dets('confident', t)
+                          for t in range(len(ax)))]
+        for mode in ('mixed', 'bf16'):
+            for a, b in zip(dets_by_mode['f32'], dets_by_mode[mode]):
+                union = a | b
+                if union:
+                    assert len(a & b) / len(union) > 0.9, (mode, a, b)
+
+        with pytest.raises(ValueError):
+            axtrack_tpu.setup_inference(
+                str(tmp_path_factory.mktemp('prec_bad')),
+                deployed_dir=deployed, precision='fp8')
+
     def test_compute_astar_path_export(self):
         wts = np.ones((30, 30), np.float32)
         path, dist = axtrack_tpu._compute_astar_path((5, 5), (5, 15), wts)
