@@ -176,6 +176,69 @@ class TestPallasConvergence:
         np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
 
 
+class TestBandCulling:
+    """The kernel culls its sweep loops to each program's passable-row
+    band (after sorting windows by band) — rows with zero passable cells
+    are provably INF at every sweep count, so culling must be invisible.
+    These masks make the bands narrow, disjoint, and mixed with
+    full-height windows so blocks would union to the full window without
+    the sort."""
+
+    def test_thin_bands_match_lax_and_oracle(self, rng):
+        from axtrack_tpu.ops.geodesic_pallas import batched_windows_probed
+        from axtrack_tpu.ops.geodesic import (_batched_windows,
+                                              _gather_targets)
+        import jax.numpy as jnp
+        H, W = 96, 128
+        mask = np.zeros((H, W), bool)
+        mask[30:38, :] = True                 # band A
+        mask[70:74, 20:100] = True            # band B (disjoint rows)
+        mask[38:70, 60:64] = True             # vertical passage A<->B
+        # sources in both bands, the passage, and near frame edges (clipped
+        # origins put the band at varying LOCAL offsets — the sort's job)
+        srcs = np.array([[33, 10], [71, 90], [50, 61], [33, 120],
+                         [31, 64], [72, 40], [33, 2]], np.int32)
+        m = jnp.asarray(mask)
+        window = 64
+        dm_p, org_p, ok = batched_windows_probed(m, srcs, window,
+                                                 max_sweeps=8,
+                                                 interpret=True)
+        assert bool(ok)
+        dm_l, org_l = _batched_windows(m, srcs, window, max_sweeps=8)
+        np.testing.assert_array_equal(np.asarray(org_p), np.asarray(org_l))
+        a, b = np.asarray(dm_p), np.asarray(dm_l)
+        fin = (a < 1e8) | (b < 1e8)
+        np.testing.assert_array_equal(a[fin], b[fin])
+        # oracle spot check through the gather: src i -> tgt i are
+        # in-window pairs (incl. a cross-band one through the passage);
+        # off-diagonal pairs may leave the 64px window, where windowed
+        # semantics (cap) intentionally diverge from the global oracle
+        tgts = np.array([[33, 40], [71, 60], [50, 62]], np.int32)
+        got = np.asarray(_gather_targets(dm_p, org_p, jnp.asarray(tgts),
+                                         jnp.float32(500), window))
+        want = oracle_pairwise(mask, srcs[:3], tgts, 500)
+        np.testing.assert_array_equal(np.diag(got[:3]), np.diag(want))
+
+    def test_pad_windows_cannot_affect_results(self):
+        """src_bucket pads the source count; pad windows (local (0,0))
+        sort to the front and collapse to one slab — real maps must be
+        identical to an unpadded-count run."""
+        from axtrack_tpu.ops.geodesic_pallas import batched_windows_probed
+        import jax.numpy as jnp
+        mask = np.zeros((64, 64), bool)
+        mask[40:46, :] = True
+        m = jnp.asarray(mask)
+        srcs3 = np.array([[42, 5], [43, 30], [41, 60]], np.int32)
+        srcs2 = srcs3[:2]
+        d3, o3, ok3 = batched_windows_probed(m, srcs3, 64, max_sweeps=4,
+                                             interpret=True)
+        d2, o2, ok2 = batched_windows_probed(m, srcs2, 64, max_sweeps=4,
+                                             interpret=True)
+        assert bool(ok3) and bool(ok2)
+        np.testing.assert_array_equal(np.asarray(d3)[:2], np.asarray(d2))
+        np.testing.assert_array_equal(np.asarray(o3)[:2], np.asarray(o2))
+
+
 class TestRandomMasks:
     @pytest.mark.parametrize('seed', [1, 2, 3])
     def test_random_blob_masks(self, seed):
