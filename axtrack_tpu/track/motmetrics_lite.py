@@ -41,7 +41,11 @@ def mot_metrics(gt_df, pred_df, distth):
     pred = _frames_dict(pred_df)
     frames = sorted(set(gt) | set(pred))
 
-    num_misses = num_fp = num_switches = num_matches = 0
+    # py-motmetrics event taxonomy: a frame correspondence is typed MATCH
+    # or SWITCH; num_matches counts MATCH rows ONLY, num_detections (which
+    # feeds recall/precision/motp) counts both (metrics.py definitions of
+    # the real package)
+    num_misses = num_fp = num_switches = num_detections = 0
     num_fragmentations = 0
     num_transfer = num_ascend = num_migrate = 0
     ever_matched = set()     # gt ids that have been tracked at least once
@@ -95,7 +99,7 @@ def mot_metrics(gt_df, pred_df, distth):
 
         for g in g_ids:
             if g in matches:
-                num_matches += 1
+                num_detections += 1
                 tracked_frames_per_track[g] = \
                     tracked_frames_per_track.get(g, 0) + 1
                 p = matches[g]
@@ -174,9 +178,9 @@ def mot_metrics(gt_df, pred_df, distth):
 
     mota = 1.0 - (num_misses + num_fp + num_switches) / num_gt \
         if num_gt else 0.0
-    motp = dist_sum / num_matches if num_matches else 0.0
-    recall = num_matches / num_gt if num_gt else 0.0
-    precision = num_matches / num_pred if num_pred else 0.0
+    motp = dist_sum / num_detections if num_detections else 0.0
+    recall = num_detections / num_gt if num_gt else 0.0
+    precision = num_detections / num_pred if num_pred else 0.0
 
     return pd.Series({
         'num_frames': len(frames),
@@ -189,7 +193,8 @@ def mot_metrics(gt_df, pred_df, distth):
         'num_false_positives': num_fp, 'num_misses': num_misses,
         'num_switches': num_switches,
         'num_fragmentations': num_fragmentations,
-        'num_matches': num_matches,
+        'num_matches': num_detections - num_switches,
+        'num_detections': num_detections,
         'num_transfer': num_transfer,
         'num_ascend': num_ascend,
         'num_migrate': num_migrate,
