@@ -20,19 +20,27 @@ import jax.numpy as jnp
 jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
 
 
-def make_instance(T, n_dets, rng):
+def make_instance(T, n_dets, rng, counts=None):
     """Plausible tracking instance: persistent targets moving smoothly, so
-    both solvers do real linking work."""
+    both solvers do real linking work. ``counts`` (optional, [T]) drops
+    each frame's detections to counts[t] — the skewed-density case where
+    one dense frame inflates the padded capacity D while typical frames
+    hold far fewer dets (the regime VERDICT r3 weak #4's packed staging
+    targets: the dense [T, G, D, D] tensor was O(T*G*D^2) regardless)."""
     pts = rng.uniform(50, 2000, (n_dets, 2))
     frames, dists = [], {}
     traj_pts = []
+    keep_idx = []
     for t in range(T):
         pts = pts + rng.normal(0, 8, pts.shape)
-        traj_pts.append(pts.copy())
-        frames.append({'conf': (0.7 + 0.3 * rng.random(n_dets)
+        n_t = n_dets if counts is None else int(counts[t])
+        keep_idx.append(np.arange(n_t))
+        p = pts[:n_t]
+        traj_pts.append(p.copy())
+        frames.append({'conf': (0.7 + 0.3 * rng.random(n_t)
                                 ).astype(np.float32),
-                       'x': pts[:, 0].astype(np.int32),
-                       'y': pts[:, 1].astype(np.int32)})
+                       'x': p[:, 0].astype(np.int32),
+                       'y': p[:, 1].astype(np.int32)})
     for t in range(1, T):
         for g in (1, 2):
             s = t - g
@@ -56,8 +64,16 @@ def main():
              MCF_CONF_CAPPING_METHOD='scale_to_max')
     rng = np.random.default_rng(0)
     T = 20
-    for n_dets in (64, 256, 1024):
-        frames, dists = make_instance(T, n_dets, rng)
+    for n_dets in (64, 256, 1024, 'skew'):
+        if n_dets == 'skew':
+            # ONE saturating frame (1024) among typical-biology frames
+            # (100): the padded capacity D is forced to 1024 while the
+            # real data is ~1% of D^2 — the dense-staging worst case
+            counts = np.full(T, 100)
+            counts[T // 2] = 1024
+            frames, dists = make_instance(T, 1024, rng, counts=counts)
+        else:
+            frames, dists = make_instance(T, n_dets, rng)
         trk = OnlineTracker(P)
         trajs = trk.track(frames, dists)          # compile
         t0 = time.time()
@@ -69,7 +85,7 @@ def main():
         dt_mcf = time.time() - t0
         n_mcf = len(res.trajectories) if res else -1
         long_scan = sum(1 for tr in trajs if len(tr) >= T - 2)
-        print(f'{n_dets:5} dets/frame x {T} frames: '
+        print(f'{n_dets!s:>5} dets/frame x {T} frames: '
               f'scan {dt_scan:6.2f}s ({T/dt_scan:7.1f} fps, '
               f'{long_scan} full tracks) | '
               f'host MCF {dt_mcf:6.2f}s ({T/dt_mcf:7.1f} fps, '
