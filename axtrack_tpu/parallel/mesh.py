@@ -127,13 +127,27 @@ def shard_batch(batch, mesh):
             jnp.asarray(x), NamedSharding(mesh, P('data'))), batch)
 
 
-def sharded_train_step(state, mesh):
-    """Jit the engine train step for the mesh; shardings are taken from the
-    argument placements (params TP-sharded, batch DP-sharded) and
-    propagated by XLA, which inserts the ICI collectives."""
-    from ..train.engine import make_train_step
-    train_step, eval_step = make_train_step(state.model, state.tx, state.P)
-    return train_step, eval_step
+def dp_constrain(x, mesh):
+    """Constrain the leading (batch) dim of ``x`` onto the 'data' axis —
+    the annotation that turns the engine's epoch scan into data-parallel
+    compute (XLA psums the grads where they meet the replicated params).
+    No-op when the dim doesn't divide (e.g. remainder batches) or no mesh
+    is given, so call sites stay unconditional."""
+    if mesh is None or x.shape[0] % mesh.shape['data']:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P('data')))
+
+
+def replicate_put(tree, mesh):
+    """device_put a pytree fully replicated on the mesh; identity without a
+    mesh. Inputs that stay committed to one device would clash with
+    mesh-sharded params inside a jit ('incompatible devices')."""
+    if mesh is None:
+        return tree
+    return jax.tree.map(
+        lambda x: jax.device_put(jnp.asarray(x), NamedSharding(mesh, P())),
+        tree)
 
 
 def sharded_inference_fn(model, variables, mesh):
@@ -153,8 +167,15 @@ def distribute_state(state, mesh):
     """Place a TrainState on the mesh: params TP-sharded, batch stats
     replicated, optimizer state re-initialized on the sharded params (Adam
     moments are zeros_like(param) and inherit the param shardings — note
-    this resets moments, so distribute before training, not mid-run)."""
+    this resets moments, so distribute before training, not mid-run).
+
+    Also records the mesh on the state: the training engine
+    (engine.run_epoch_device / bigmovie.run_epoch_chunked) reads
+    ``state.mesh`` to shard every epoch's batch axis over 'data' and place
+    epoch inputs on the mesh — this is how ``run_experiment(mesh=...)``
+    trains multi-chip."""
     state.params = shard_params(state.params, mesh)
     state.batch_stats = replicate(state.batch_stats, mesh)
     state.opt_state = state.tx.init(state.params)
+    state.mesh = mesh
     return state

@@ -119,17 +119,23 @@ def _get_chunk_prog(state, dataset, P, which_dataset):
     ts = dataset.tilesize
     nyx = dataset.ytiles * dataset.xtiles
     tc = dataset.temporal_context
+    mesh = getattr(state, 'mesh', None)
     # key by the VALUES run_chunk bakes in (not id(dataset): a recycled
     # id after the old dataset is collected would silently reuse stale
     # stage constants) — equal key => identical traced program
     key = (which_dataset, float(s['offset']), float(s['lower']),
-           float(s['var']), bool(s['log']), ts, nyx, tc)
+           float(s['var']), bool(s['log']), ts, nyx, tc, mesh)
     if key in cache:
         return cache[key]
 
     train_step, eval_step = state._steps
     offset, lower, var = s['offset'], s['lower'], s['var']
     log_correct = s['log']
+    if mesh is not None:
+        from ..parallel.mesh import dp_constrain
+    else:
+        def dp_constrain(x, _mesh):
+            return x
 
     @jax.jit
     def run_chunk(params, batch_stats, opt_state, u16, flat_idx, dy, dx,
@@ -153,7 +159,10 @@ def _get_chunk_prog(state, dataset, P, which_dataset):
             ctx = centers[t_g - t0][:, None] + jnp.arange(-tc, tc + 1)[None]
             X = tiles[ctx, k[:, None]]                # [B, C_f, ts, ts]
             X = jnp.moveaxis(X, 1, -1)                # NHWC
-            return X, targets_chunk[t_g - t0, k]
+            # mesh epochs: batch axis data-parallel (engine._make_scan_epoch
+            # has the same annotation; grads psum'd by XLA)
+            return (dp_constrain(X, mesh),
+                    dp_constrain(targets_chunk[t_g - t0, k], mesh))
 
         def step(carry, idx):
             params, bstats, opt = carry
@@ -194,13 +203,27 @@ def run_epoch_chunked(state, dataset, which_dataset, P, plan=None):
     tp = np.asarray(dataset.timepoints_indices)
     targets_all = jnp.asarray(dataset.target_tiled)
     flat_idx = jnp.asarray(dataset._tile_flat_idx)
+    mesh = getattr(state, 'mesh', None)
+    if mesh is not None:
+        # chunk inputs must live on the mesh's device set next to the
+        # sharded params; the u16 chunk is replicated per chip (broadcast
+        # rides ICI, and the chunk — not the movie — is the working set)
+        from ..parallel.mesh import replicate_put
+        targets_all, flat_idx = replicate_put((targets_all, flat_idx), mesh)
     tparams = (np.int32(ce['dy']), np.int32(ce['dx']),
                np.bool_(ce['flip_y']), np.bool_(ce['flip_x']),
                np.float32(ce['angle']))
 
     all_comps = []
     print(f'LOSS (chunked, {len(chunks)} chunks): ', end='', flush=True)
-    u16 = dataset.staged_chunk(chunks[0]['lo'], chunks[0]['hi'])
+
+    def fetch_chunk(lo, hi):
+        u16 = dataset.staged_chunk(lo, hi)
+        if mesh is not None:
+            u16 = replicate_put(u16, mesh)   # resident slices are committed
+        return u16
+
+    u16 = fetch_chunk(chunks[0]['lo'], chunks[0]['hi'])
     for i, ch in enumerate(chunks):
         centers = jnp.asarray(tp[ch['t0']:ch['t1']] - ch['lo'], jnp.int32)
         targets_chunk = targets_all[jnp.asarray(tp[ch['t0']:ch['t1']])]
@@ -222,7 +245,7 @@ def run_epoch_chunked(state, dataset, which_dataset, P, plan=None):
         # program instead of serializing after it
         if i + 1 < len(chunks):
             nxt = chunks[i + 1]
-            u16_next = dataset.staged_chunk(nxt['lo'], nxt['hi'])
+            u16_next = fetch_chunk(nxt['lo'], nxt['hi'])
         for nb, comps in chunk_comps:
             comps = jax.tree.map(np.asarray, comps)     # blocks on chunk
             for b in range(nb):

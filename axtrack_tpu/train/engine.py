@@ -59,6 +59,10 @@ class TrainState:
         self.opt_state = opt_state
         self.P = P
         self.epoch = 0
+        # set by parallel.mesh.distribute_state: when present, epochs run
+        # data-parallel over the mesh's 'data' axis (batch sharded, grads
+        # psum'd by XLA) with the FC head tensor-parallel over 'model'
+        self.mesh = None
 
     @property
     def variables(self):
@@ -168,10 +172,16 @@ def _make_scan_epoch(state, which_dataset, tc, K):
     cache = getattr(state, '_epoch_progs', None)
     if cache is None:
         cache = state._epoch_progs = {}
-    key = (which_dataset, tc, K)
+    mesh = getattr(state, 'mesh', None)
+    key = (which_dataset, tc, K, mesh)
     if key in cache:
         return cache[key]
     train_step, eval_step = state._steps
+    if mesh is not None:
+        from ..parallel.mesh import dp_constrain
+    else:
+        def dp_constrain(x, _mesh):
+            return x
 
     @jax.jit
     def scan_epoch(params, batch_stats, opt_state, tiles, targets, tp_idx,
@@ -184,7 +194,11 @@ def _make_scan_epoch(state, which_dataset, tc, K):
             if X.ndim == 5:       # motion modes: frame-major channels
                 X = X.reshape(X.shape[0], -1, *X.shape[-2:])
             X = jnp.moveaxis(X, 1, -1)
-            return X, targets[t_all, tile_idx]
+            # mesh epochs: batch axis data-parallel (the gather output is
+            # where the per-chip shard boundary lives; XLA then psums the
+            # grads/batch-stats where they meet the replicated params)
+            return (dp_constrain(X, mesh),
+                    dp_constrain(targets[t_all, tile_idx], mesh))
 
         def step(carry, idx):
             params, bs, opt = carry
@@ -219,6 +233,15 @@ def run_epoch_device(state, steps, dataset, which_dataset, P,
     tiles = jnp.asarray(dataset.X_tiled)
     targets = jnp.asarray(dataset.target_tiled)
     tp_idx = jnp.asarray(np.asarray(dataset.timepoints_indices), jnp.int32)
+    mesh = getattr(state, 'mesh', None)
+    if mesh is not None:
+        # epoch inputs must live on the SAME device set as the sharded
+        # params (single-device-committed args clash inside the jit);
+        # tiles/targets are replicated — every chip gathers its own batch
+        # shard locally, the dp split happens at the gather output
+        from ..parallel.mesh import replicate_put
+        tiles, targets, tp_idx = replicate_put((tiles, targets, tp_idx),
+                                               mesh)
     train_step, eval_step = steps
     scan_epoch = _make_scan_epoch(state, which_dataset, tc, K)
 
@@ -333,7 +356,14 @@ def one_epoch(dataset, state, params, epoch, train=True, min_pos_rate=.65,
         step = 10 if which_dataset == 'train' else 1
         tstart = np.random.randint(0, 10) if which_dataset == 'train' else 0
         subset = range(min(tstart, dataset.sizet - 1), dataset.sizet, step)
-        ax_dets = AxonDetections((state.model, state.variables), dataset,
+        variables = state.variables
+        if getattr(state, 'mesh', None) is not None:
+            # the detection path's inputs (dataset device arrays) live on
+            # one device; mesh-sharded params inside the same jit would be
+            # an incompatible-devices error. The F1 sweep is an eval pass —
+            # gather the params and run it single-chip.
+            variables = jax.device_get(variables)
+        ax_dets = AxonDetections((state.model, variables), dataset,
                                  params, directory=None,
                                  timepoint_subset=subset)
         ax_dets.detect_dataset()

@@ -21,8 +21,16 @@ from .checkpoint import save_checkpoint
 from ..detections import AxonDetections
 
 
-def run_experiment(exp_name, parameters, save_results=True):
-    """(reference experiment.py:49-72)"""
+def run_experiment(exp_name, parameters, save_results=True, mesh=None):
+    """(reference experiment.py:49-72)
+
+    ``mesh``: an optional ('data', 'model') jax.sharding.Mesh
+    (parallel.mesh.make_mesh). When given, the whole training run is
+    mesh-parallel: params FC-head tensor-parallel over 'model', every
+    epoch's batch axis sharded over 'data' (grads/batch-stats psum'd by
+    XLA on ICI) — both the device-resident epoch scan and the chunked
+    beyond-HBM path. The reference trains strictly single-device
+    (experiment.py:75-112, core_functionality.py:139-165)."""
     set_seed(parameters['SEED'])
     print(f'Running Experiment: {exp_name}', flush=True)
     check_parameters(parameters, get_default_parameters())
@@ -38,6 +46,9 @@ def run_experiment(exp_name, parameters, save_results=True):
 
     train_data, test_data = engine.setup_data(parameters)
     state = engine.setup_model(parameters)
+    if mesh is not None:
+        from ..parallel.mesh import distribute_state
+        state = distribute_state(state, mesh)
     optimize(parameters, train_data, test_data, state, save_results,
              MODELS_DIR, METRICS_DIR, RUN_DIR)
     return state
