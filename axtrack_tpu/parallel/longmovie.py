@@ -66,7 +66,7 @@ def _left_perm(n):
 def build_sharded_detector(mesh, model, variables, params, n_frames,
                            flat_idx, tile_yx, max_dets=64, conf_thr=0.55,
                            var_scalar=None, preprocessed=False,
-                           n_real=None):
+                           n_real=None, stage=None):
     """Jitted single-movie detector with the FRAME axis sharded over 'data'.
 
     Args:
@@ -78,6 +78,13 @@ def build_sharded_detector(mesh, model, variables, params, n_frames,
         X) — skip normalize/clip/log/standardize so the sharded path is
         numerically identical to the single-chip production path
         (interface.inference(shard_frames=True) route).
+      stage: a staged Timelapse's preproc constants
+        {'offset', 'lower', 'var', 'log'} (beyond-HBM raw-u16 movies,
+        data/timelapse.py staged mode). Frames arrive as the staged
+        masked/padded uint16 host movie; each chip runs the EXACT staged
+        chain (ops.preproc.staged_preprocess_u16) on its block after the
+        u16 halo exchange — numerically identical to the single-chip
+        staged path, at 2 bytes/px of ICI halo traffic instead of 4.
 
     Returns fn(frames_u16 [n_frames, H, W], ctx_lead [tc, H, W],
     ctx_trail [tc, H, W], mask [H, W]) -> (conf, x, y, alive), each
@@ -107,7 +114,10 @@ def build_sharded_detector(mesh, model, variables, params, n_frames,
     def body(fr_loc_u16, ctx_lead, ctx_trail, m):
         # fr_loc_u16: [T_loc, H, W] this chip's center frames
         idx = jax.lax.axis_index('data')
-        if preprocessed:
+        if preprocessed or stage is not None:
+            # staged mode keeps RAW u16 through the halo exchange (half
+            # the ICI bytes; the preproc chain is elementwise so block
+            # order vs exchange order is irrelevant)
             x = fr_loc_u16
             lead, trail = ctx_lead, ctx_trail
         else:
@@ -124,6 +134,13 @@ def build_sharded_detector(mesh, model, variables, params, n_frames,
 
         if preprocessed:
             proc = block
+        elif stage is not None:
+            # the canonical staged chain with the dataset's constants —
+            # bit-identical to _detect_fused's _staged_range_tiles route
+            proc = PP.staged_preprocess_u16(
+                block, jnp.float32(stage['offset']),
+                jnp.float32(stage['lower']), jnp.float32(stage['var']),
+                log_correct=bool(stage['log']))
         else:
             if var_scalar is not None:
                 vs = jnp.float32(var_scalar)
@@ -265,13 +282,16 @@ def long_movie_pipeline(mesh, model, variables, params, frames_u16, mask,
                         max_dets=64, window=512, max_sweeps=8,
                         var_scalar=None, interpret=False, backend=None,
                         flat_idx=None, tile_yx=None, conf_thr=0.55,
-                        preprocessed=False, max_gap=2, max_dist=500.0):
+                        preprocessed=False, max_gap=2, max_dist=500.0,
+                        stage=None):
     """End-to-end sharded detect + associate for one long movie.
 
     frames_u16: uint16 [T_total, H, W] INCLUDING tc leading/trailing
     context frames (T_total = n_frames + 2*tc) — or preprocessed f32
     frames with ``preprocessed=True`` (the interface.inference
-    shard_frames route). Returns
+    shard_frames route), or a staged dataset's masked raw u16 with
+    ``stage=ds._stage`` (beyond-HBM movies: per-chip on-device preproc,
+    T/n_dev frames of HBM per chip instead of the whole movie). Returns
     (frame_dets list of dicts, astar_dists {(t, gap): [n_s, n_t]}, ok)
     in the host format detections.py/track.tracker consume.
 
@@ -317,7 +337,7 @@ def long_movie_pipeline(mesh, model, variables, params, frames_u16, mask,
                                     max_dets=max_dets, conf_thr=conf_thr,
                                     var_scalar=var_scalar,
                                     preprocessed=preprocessed,
-                                    n_real=n_real)
+                                    n_real=n_real, stage=stage)
     assoc = build_sharded_assoc(mesh, n_frames, window=window,
                                 max_dets=max_dets, max_sweeps=max_sweeps,
                                 max_gap=max_gap, max_dist=max_dist,

@@ -223,25 +223,45 @@ class TestChunkedEpoch:
             assert float(el['total_summed_loss']) > 0
 
 
-class TestStagedGuards:
-    def test_sharded_path_rejects_staged_dataset(self, P, monkeypatch):
-        """detections.detect_and_associate_sharded must reject staged
-        datasets loudly: their .X is RAW uint16 (regression: the old guard
-        tested X_tiled, letting raw integers through as 'preprocessed'
-        frames)."""
+class TestStagedSharded:
+    def test_staged_sharded_equals_staged_single_chip(self, P, monkeypatch):
+        """VERDICT r3 missing #2: staged (beyond-HBM raw-u16) movies ride
+        ``shard_frames``. The sharded route ships the RAW u16 movie + the
+        dataset's stage constants and kept-tile table; each chip runs the
+        staged preproc chain on its frame block (u16 halo exchange). Must
+        equal the single-chip staged path — detections AND geodesic
+        distances — on the 8-device CPU mesh."""
         from axtrack_tpu.detections import AxonDetections
         from axtrack_tpu.models.yolo import build_model, init_variables
         ds_staged, _ = make_datasets(P, monkeypatch)
-        ds_staged.construct_tiles(force_no_transformation=True)
-        # materialize host X_tiled: the OLD guard keyed on it and would
-        # have waved this dataset through with raw-u16 frames
-        ds_staged.materialize_tiles()
-        assert ds_staged._u16_staged and ds_staged.X_tiled is not None
+        assert ds_staged._u16_staged
         model = build_model(P)
         variables = init_variables(model, P, seed=0)
-        ad = AxonDetections((model, variables), ds_staged, P, None)
-        with pytest.raises(AssertionError, match='staged'):
-            ad.detect_and_associate_sharded()
+
+        ref = AxonDetections((model, variables), ds_staged, P, None)
+        ref.detect_dataset()
+        assert ds_staged.X_tiled is None        # stayed staged
+        ref.astar_dists = ref._compute_detections_astar_dists()
+
+        shr = AxonDetections((model, variables), ds_staged, P, None)
+        shr.detect_and_associate_sharded()
+
+        assert len(ref._detections) == len(shr._detections)
+        for t, (a, b) in enumerate(zip(ref._detections, shr._detections)):
+            assert len(a) == len(b), (t, len(a), len(b))
+            np.testing.assert_array_equal(a['anchor_x'].values,
+                                          b['anchor_x'].values)
+            np.testing.assert_array_equal(a['anchor_y'].values,
+                                          b['anchor_y'].values)
+            np.testing.assert_allclose(a['conf'].values, b['conf'].values,
+                                       atol=1e-5)
+        assert set(ref.astar_dists) == set(shr.astar_dists)
+        for k in ref.astar_dists:
+            np.testing.assert_allclose(ref.astar_dists[k],
+                                       shr.astar_dists[k], atol=1e-4)
+
+
+class TestStagedGuards:
 
     def test_empty_chunk_under_drop_last(self, P, monkeypatch):
         """A chunk yielding zero full batches under DROP_LAST must not
