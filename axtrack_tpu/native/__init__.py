@@ -46,11 +46,13 @@ def _lib():
             i32p, ctypes.c_int, i32p, ctypes.c_int,
             ctypes.c_float, i32p]
 
-        lib.axtpu_solve_tracking_mcf.restype = ctypes.c_int
-        lib.axtpu_solve_tracking_mcf.argtypes = [
-            ctypes.c_int, ctypes.c_int, i32p, i32p, i64p,
-            ctypes.c_int, ctypes.c_int, i32p,
-            ctypes.POINTER(ctypes.c_int64)]
+        for fn in (lib.axtpu_solve_tracking_mcf,
+                   lib.axtpu_solve_tracking_mcf_ssp):
+            fn.restype = ctypes.c_int
+            fn.argtypes = [
+                ctypes.c_int, ctypes.c_int, i32p, i32p, i64p,
+                ctypes.c_int, ctypes.c_int, i32p,
+                ctypes.POINTER(ctypes.c_int64)]
         _LIB = lib
     return _LIB
 
@@ -94,12 +96,17 @@ def astar_pairwise(weights, sources_yx, targets_yx, max_path_length=500):
 
 
 def solve_tracking_mcf(n_nodes, edges_from, edges_to, edge_costs,
-                       min_flow, max_flow, cost_scale=1e6):
+                       min_flow, max_flow, cost_scale=1e6,
+                       method='scaling'):
     """Solve the tracking min-cost-flow (see mcf.cpp).
 
     Args:
       n_nodes: total incl. source (n_nodes-2) and sink (n_nodes-1).
       edges_*: arrays over edges; float costs are scaled to int64.
+      method: 'scaling' (cost-scaling push-relabel, the production solver)
+        or 'ssp' (successive shortest paths — the slower oracle the
+        scaling solver is fuzz-checked against; both return the smallest
+        flow value minimizing total cost).
 
     Returns (achieved_flow, flow[n_edges] 0/1, total_cost float) or
     (None, None, None) when min_flow is infeasible — callers mirror the
@@ -111,7 +118,9 @@ def solve_tracking_mcf(n_nodes, edges_from, edges_to, edge_costs,
         np.round(np.asarray(edge_costs, np.float64) * cost_scale), np.int64)
     flow = np.zeros(len(ef), np.int32)
     total = ctypes.c_int64(0)
-    f = _lib().axtpu_solve_tracking_mcf(
+    solve = {'scaling': _lib().axtpu_solve_tracking_mcf,
+             'ssp': _lib().axtpu_solve_tracking_mcf_ssp}[method]
+    f = solve(
         int(n_nodes), len(ef), ef, et, ec,
         int(min_flow), int(max_flow), flow, ctypes.byref(total))
     if f < 0:

@@ -177,3 +177,65 @@ class TestMCF:
             ri, ci = linear_sum_assignment(M)
             best = -big * (nA + nB) + M[ri, ci].sum()
             np.testing.assert_allclose(cost, best, atol=1e-4)
+
+    def test_scaling_matches_ssp_oracle(self, rng):
+        """The production cost-scaling solver must agree with the SSP
+        oracle on random tracking graphs: achieved flow and total cost
+        exactly equal (including zero-marginal ties under integer costs,
+        where the smallest optimal flow value must be chosen), and the
+        returned flow vector must be a feasible 0/1 flow achieving the
+        reported cost."""
+        for it in range(120):
+            T = int(rng.integers(2, 6))
+            counts = rng.integers(0, 5, T)
+            offsets = np.concatenate([[0], np.cumsum(counts)])
+            n_dets = int(offsets[-1])
+            src, snk = 2 * n_dets, 2 * n_dets + 1
+            integer_costs = it % 2 == 0
+
+            def cost():
+                if integer_costs:
+                    return float(rng.integers(-6, 7))
+                return float(rng.normal(0, 3))
+
+            ef, et, ec = [], [], []
+            ee = abs(cost()) + 0.5
+            for i in range(n_dets):
+                ef += [2 * i, src, 2 * i + 1]
+                et += [2 * i + 1, 2 * i, snk]
+                ec += [cost() - 2.0, ee, ee]
+            for t in range(T):
+                for gap in (1, 2):
+                    tb = t - gap
+                    if tb < 0:
+                        continue
+                    for i in range(counts[tb]):
+                        for j in range(counts[t]):
+                            if rng.random() < 0.6:
+                                ef.append(2 * (offsets[tb] + i) + 1)
+                                et.append(2 * (offsets[t] + j))
+                                ec.append(cost())
+            if not ef:
+                continue
+            min_flow = int(rng.integers(0, max(1, n_dets // 2)))
+            max_flow = int(rng.integers(min_flow, n_dets + 3)) + 1
+            args = (2 * n_dets + 2, np.array(ef), np.array(et),
+                    np.array(ec), min_flow, max_flow)
+            fs, flow_s, cost_s = native.solve_tracking_mcf(
+                *args, method='scaling')
+            fo, _, cost_o = native.solve_tracking_mcf(*args, method='ssp')
+            if fo is None:
+                assert fs is None
+                continue
+            assert fs == fo, (it, fs, fo)
+            np.testing.assert_allclose(cost_s, cost_o, atol=1e-9)
+            div = np.zeros(2 * n_dets + 2)
+            for u, v, fl in zip(ef, et, flow_s):
+                assert fl in (0, 1)
+                div[u] += fl
+                div[v] -= fl
+            assert div[src] == fs and div[snk] == -fs
+            assert np.abs(np.delete(div, [src, snk])).max() == 0
+            got = np.round(np.array(ec) * 1e6).astype(np.int64)
+            np.testing.assert_allclose(got[np.array(flow_s) == 1].sum()
+                                       / 1e6, cost_s, atol=1e-9)
