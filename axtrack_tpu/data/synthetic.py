@@ -100,16 +100,17 @@ def write_fixture(directory, name='synthetic_timelapse', **kwargs):
             'frames': frames, 'mask_arr': mask, 'labels_df': labels}
 
 
-def ensure_example_fixture(examples_dir, H=1280, W=2048, T=20, n_axons=10,
-                           seed=7, n_channels=5, force=False):
+def ensure_example_fixture(examples_dir, H=2920, W=6364, T=20, n_axons=30,
+                           seed=7, n_channels=12, force=False):
     """(Re)generate the bundled example movie if absent.
 
-    The example inputs (~110 MB) are deterministic seeded draws, so they are
-    regenerated on demand rather than committed; the committed deployment
-    bundle (deployed_model/) and example render (examples/axon_dets/) were
-    produced from exactly this draw. Mirrors the reference's bundled
-    examples/example_timelapse.tif (examples/test.py:16-20; LFS-stripped in
-    the snapshot). Returns the tif path.
+    The example inputs (~740 MB at the reference IMG_DIM) are deterministic
+    seeded draws, so they are regenerated on demand rather than committed;
+    the committed example render (examples/axon_dets/) was produced from
+    exactly this draw. Geometry mirrors the reference's bundled 20-frame
+    example at its full 2920x6364 frame size (examples/test.py:16-20 —
+    LFS-stripped in the snapshot; IMG_DIM exp_parameters.py:59). Returns
+    the tif path.
     """
     tif = os.path.join(examples_dir, 'example_timelapse.tif')
     mask = os.path.join(examples_dir, 'example_timelapse_mask.npy')

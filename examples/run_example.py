@@ -14,8 +14,9 @@ dest_dir = os.path.join(inference_data_dir, 'output')
 imseq_fname = 'example_timelapse.tif'
 mask_fname = 'example_timelapse_mask.npy'
 
-# the example movie is a deterministic seeded draw (~110 MB) — regenerate it
-# on demand instead of committing it
+# the example movie is a deterministic seeded draw (~740 MB at the
+# reference's full 2920x6364 example geometry) — regenerate it on demand
+# instead of committing it
 from axtrack_tpu.data.synthetic import ensure_example_fixture
 ensure_example_fixture(inference_data_dir)
 

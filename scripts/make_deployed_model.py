@@ -57,20 +57,24 @@ def main():
             shutil.rmtree(os.path.join(deployed_dir, entry),
                           ignore_errors=True)
 
-    # 1) example inference movie (the "bundled example"). Multi-row AND
-    # multi-column tile grid at the deployed TILESIZE so run_example.py
-    # exercises stitching across both tile axes (VERDICT r2 item 8; the
-    # reference's example is a full frame, examples/test.py:16-43 — full
-    # 2920x6364 is impractical for the CPU-runnable example, but the
-    # stitching geometry is what matters)
-    ex_H, ex_W = (512, 1024) if args.compact else (1280, 2048)
+    # 1) example inference movie (the "bundled example") at the reference's
+    # full example geometry: 20 frames of 2920x6364 (examples/test.py:16-43,
+    # IMG_DIM exp_parameters.py:59). The compact bundle keeps a small
+    # CPU-friendly example.
     from axtrack_tpu.data.synthetic import ensure_example_fixture
-    ensure_example_fixture(examples_dir, H=ex_H, W=ex_W, force=True)
+    if args.compact:
+        ensure_example_fixture(examples_dir, H=512, W=1024, n_axons=10,
+                               n_channels=5, force=True)
+    else:
+        ensure_example_fixture(examples_dir, force=True)
 
-    # 2) training movie (different seed = different data distribution draw)
+    # 2) training movie (different seed = different data distribution
+    # draw; geometry stays tile-grid-sized — training samples are tiles,
+    # so the frame only needs a multi-row x multi-col grid)
+    tr_H, tr_W = (512, 1024) if args.compact else (1280, 2048)
     train_dir = os.path.join(examples_dir, '_train_data')
     fx = write_fixture(train_dir, name='training_timelapse',
-                       T=24, H=ex_H, W=ex_W, n_axons=10, seed=11,
+                       T=24, H=tr_H, W=tr_W, n_axons=10, seed=11,
                        n_channels=5)
 
     P = get_default_parameters()
