@@ -58,15 +58,22 @@ def assign_identities(frame_dets, astar_dists, params, vis_feats=None):
 
     src = 2 * n_dets
     snk = 2 * n_dets + 1
-    ef, et, ec = [], [], []
-    for i in range(n_dets):
-        ef += [2 * i, src, 2 * i + 1]
-        et += [2 * i + 1, 2 * i, snk]
-        ec += [obs[i], params['MCF_ENTRY_EXIT_COST'],
-               params['MCF_ENTRY_EXIT_COST']]
+    # structural edges, interleaved so edge 3i is the observation edge
+    # u_i -> v_i, 3i+1 the entry, 3i+2 the exit (the decomposition below
+    # indexes flow[] by this layout)
+    ids = np.arange(n_dets)
+    ef_s = np.empty(3 * n_dets, np.int64)
+    et_s = np.empty(3 * n_dets, np.int64)
+    ec_s = np.empty(3 * n_dets, np.float64)
+    ef_s[0::3], et_s[0::3], ec_s[0::3] = 2 * ids, 2 * ids + 1, obs
+    ef_s[1::3], et_s[1::3], ec_s[1::3] = src, 2 * ids, \
+        params['MCF_ENTRY_EXIT_COST']
+    ef_s[2::3], et_s[2::3], ec_s[2::3] = 2 * ids + 1, snk, \
+        params['MCF_ENTRY_EXIT_COST']
 
-    n_struct = len(ef)
-    trans_edge_meta = []            # (global_prev, global_cur)
+    n_struct = 3 * n_dets
+    ef_blocks, et_blocks, ec_blocks = [ef_s], [et_s], [ec_s]
+    gp_blocks, gc_blocks = [], []   # transition edge endpoints (global ids)
     for t in range(n_frames):
         for gap in range(1, params['MCF_MAX_NUM_MISSES'] + 2):
             tb = t - gap
@@ -93,38 +100,42 @@ def assign_identities(frame_dets, astar_dists, params, vis_feats=None):
             pi, ci = np.nonzero(keep)
             gp = offsets[tb] + pi
             gc = offsets[t] + ci
-            ef.extend(2 * gp + 1)
-            et.extend(2 * gc)
-            ec.extend(cost[pi, ci])
-            trans_edge_meta.extend(zip(gp.tolist(), gc.tolist()))
+            ef_blocks.append(2 * gp + 1)
+            et_blocks.append(2 * gc)
+            ec_blocks.append(cost[pi, ci])
+            gp_blocks.append(gp)
+            gc_blocks.append(gc)
 
     flow_val, flow, total_cost = native.solve_tracking_mcf(
-        2 * n_dets + 2, np.asarray(ef), np.asarray(et), np.asarray(ec),
+        2 * n_dets + 2, np.concatenate(ef_blocks),
+        np.concatenate(et_blocks), np.concatenate(ec_blocks),
         params['MCF_MIN_FLOW'], params['MCF_MAX_FLOW'])
     if flow_val is None:
         return None
 
     # decompose: successor map from transition edges with flow
-    succ = {}
-    for k, (gp, gc) in enumerate(trans_edge_meta):
-        if flow[n_struct + k]:
-            succ[gp] = gc
-    # starts: detections whose entry edge carries flow (edge 3i+1)
-    covered = [bool(flow[3 * i]) for i in range(n_dets)]
-    starts = [i for i in range(n_dets) if covered[i] and flow[3 * i + 1]]
+    gp_all = (np.concatenate(gp_blocks) if gp_blocks
+              else np.empty(0, np.int64))
+    gc_all = (np.concatenate(gc_blocks) if gc_blocks
+              else np.empty(0, np.int64))
+    tflow = flow[n_struct:].astype(bool)
+    succ = np.full(n_dets, -1, np.int64)
+    succ[gp_all[tflow]] = gc_all[tflow]
+    # starts: covered detections (flow on obs edge 3i) whose ENTRY edge
+    # (3i+1) carries flow; ascending global id == (frame, id) order since
+    # offsets are nondecreasing
+    starts = ids[(flow[0:n_struct:3] > 0) & (flow[1:n_struct:3] > 0)]
+    frame_of = np.searchsorted(offsets, ids, 'right') - 1
+    local_of = ids - offsets[frame_of]
 
-    def det_frame(g):
-        return int(np.searchsorted(offsets, g, 'right') - 1)
-
-    starts.sort(key=lambda g: (det_frame(g), g))
     trajectories = []
     for s in starts:
         traj = []
-        g = s
+        g = int(s)
         while True:
-            traj.append((det_frame(g), int(g - offsets[det_frame(g)])))
-            if g not in succ:
+            traj.append((int(frame_of[g]), int(local_of[g])))
+            if succ[g] < 0:
                 break
-            g = succ[g]
+            g = int(succ[g])
         trajectories.append(traj)
     return TrackGraphResult(trajectories, flow, total_cost)
