@@ -139,6 +139,28 @@ def dp_constrain(x, mesh):
         x, NamedSharding(mesh, P('data')))
 
 
+def frames_constrain(x, mesh):
+    """Constrain the leading (frame) dim over 'data' — annotates the chunk
+    prep chain (staged u16 preproc -> augment transform -> tiling) so XLA
+    partitions the per-frame work, rotation gather included, across the
+    'data' chips instead of replicating it (train/bigmovie.py run_chunk).
+    Frames are independent through that whole chain; non-divisible frame
+    counts are fine (GSPMD pads the last shard)."""
+    if mesh is None:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P('data', *([None] * (x.ndim - 1)))))
+
+
+def replicate_constrain(x, mesh):
+    """Constrain ``x`` fully replicated — placed after the kept-tile gather
+    it makes XLA all-gather the chunk's tiles ONCE (over ICI) before the
+    batch scan, instead of re-gathering per scan step."""
+    if mesh is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P()))
+
+
 def replicate_put(tree, mesh):
     """device_put a pytree fully replicated on the mesh; identity without a
     mesh. Inputs that stay committed to one device would clash with

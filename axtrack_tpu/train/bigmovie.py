@@ -132,10 +132,12 @@ def _get_chunk_prog(state, dataset, P, which_dataset):
     offset, lower, var = s['offset'], s['lower'], s['var']
     log_correct = s['log']
     if mesh is not None:
-        from ..parallel.mesh import dp_constrain
+        from ..parallel.mesh import (dp_constrain, frames_constrain,
+                                     replicate_constrain)
     else:
         def dp_constrain(x, _mesh):
             return x
+        frames_constrain = replicate_constrain = dp_constrain
 
     @jax.jit
     def run_chunk(params, batch_stats, opt_state, u16, flat_idx, dy, dx,
@@ -147,12 +149,19 @@ def _get_chunk_prog(state, dataset, P, which_dataset):
         # distinct K values over a run -> a handful of compiles).
         K = flat_idx.shape[0]
         # the canonical staged preproc chain, traced in this jit so XLA
-        # fuses it with the transform
+        # fuses it with the transform. Mesh epochs shard the chain's frame
+        # axis over 'data' (frames are independent through preproc ->
+        # transform -> tiling; the rotation gather — the chain's dominant
+        # term, ~710 ms/chunk at deployed scale, BASELINE.md — divides by
+        # dp instead of replicating), then all-gather the kept tiles ONCE
+        # before the batch scan needs arbitrary (frame, tile) pairs.
+        u16 = frames_constrain(u16, mesh)
         x = staged_preprocess_u16(u16, offset, lower, var,
                                   log_correct=log_correct)
         x = transform_frames_dynamic(x, dy, dx, fy, fx, angle)
         tiles = TL.tile_frames(x, ts).reshape(x.shape[0], nyx, ts, ts)
         tiles = tiles[:, flat_idx]                    # [Tc_all, K, ts, ts]
+        tiles = replicate_constrain(tiles, mesh)
 
         def gather(idx):
             t_g, k = jnp.divmod(idx, K)
