@@ -376,9 +376,19 @@ int axtpu_solve_tracking_mcf(int n_nodes, int n_edges,
   // the optimum minimize K*cost(f) + f (smallest f among cost minimizers —
   // the SSP's strictly-negative-marginal rule); the (n+1) factor makes
   // 1-optimality at termination imply exact optimality (integer costs).
-  // int64 headroom check: |cost| <= 2^40 scaled keeps eps0 and the
-  // potential range within __int128 comfortably; reject absurd costs to
-  // the SSP oracle instead of overflowing.
+  //
+  // Overflow guard — the exact inequality, derived from the measured cmax:
+  // the only int64 quantities the scaling path produces are the scaled arc
+  // costs (magnitude <= cmax*K*NS) and the phase epsilon (eps0 = cmax*K*NS,
+  // monotonically shrinking). Potentials and reduced costs are __int128:
+  // across all refine phases |p| is bounded by n * sum(phase eps) <=
+  // n * eps0 * alpha^2/(alpha-1) < 2^31 * 2^61 * 10 < 2^96, far inside
+  // __int128. So the scaling solver is safe exactly when
+  //     cmax * K * NS  <=  int64_max / 4
+  // (headroom factor 4 = the same kInf convention as the SSP). At the
+  // reference's cost_scale=1e6 (cmax ~ 2^24) this admits K*NS up to ~2^37 —
+  // e.g. max_flow=450 with ~300k nodes — where the previous K*NS > 2^22
+  // guard silently reverted to the SSP beyond ~116 frames at 40 dets/frame.
   const int64_t K = (int64_t)max_flow + 1;
   const int64_t NS = (int64_t)n_nodes + 1;
   int64_t cmax = 1;
@@ -386,8 +396,7 @@ int axtpu_solve_tracking_mcf(int n_nodes, int n_edges,
     const int64_t a = cost[e] < 0 ? -cost[e] : cost[e];
     if (a > cmax) cmax = a;
   }
-  if (cmax > (int64_t(1) << 40) || K * NS > (int64_t(1) << 22) ||
-      cmax > std::numeric_limits<int64_t>::max() / (K * NS))
+  if (cmax > std::numeric_limits<int64_t>::max() / 4 / (K * NS))
     return axtpu_solve_tracking_mcf_ssp(n_nodes, n_edges, from, to, cost,
                                         min_flow, max_flow, flow_out,
                                         total_cost_out);
