@@ -299,3 +299,152 @@ class TestMotMetricsGolden:
             'recall': 2 / 10, 'precision': 1.0,
             'idf1': 4 / 12, 'idp': 1.0, 'idr': 2 / 10,
         })
+
+
+class TestTPFPFNVectorized:
+    """compute_TP_FP_FN is vectorized per threshold (VERDICT r4 weak #6);
+    _compute_TP_FP_FN_loop keeps the literal per-GT transcription of
+    reference AxonDetections.py:409-472 as the oracle. Equality must hold
+    on every mask at every threshold, including dense scenes at the
+    1024-det production cap where exact distance ties and claimed-det
+    collisions are common."""
+
+    def _stub(self, det, true_det):
+        from axtrack_tpu.detections import AxonDetections
+        ax = AxonDetections.__new__(AxonDetections)
+        ax.nms_min_dist = 23
+        ax.conf_thr = 0.7
+        ax.all_conf_thrs = np.sort(np.append(
+            np.arange(0.55, 1, .04), 0.7)).round(2)
+        frames = {'confident': det, 'groundtruth': true_det}
+        ax.get_frame_dets = lambda which, t: frames[which]
+        return ax
+
+    def _random_scene(self, rng, n_det, n_gt, H=640, W=640, int_coords=True):
+        def frame(n, conf_lo):
+            xy = rng.uniform(0, (W, H), (n, 2))
+            if int_coords:
+                xy = np.round(xy)  # integer coords force exact ties
+            return pd.DataFrame(
+                {'conf': rng.uniform(conf_lo, 1.3, n).astype(np.float32),
+                 'anchor_x': xy[:, 0].astype(np.int64),
+                 'anchor_y': xy[:, 1].astype(np.int64)},
+                index=[f'Axon_{i:0>3}' for i in range(n)])
+        det = frame(n_det, 0.4)
+        gt = frame(n_gt, 1.0)
+        if n_gt and n_det:
+            # plant clusters: several dets near one GT (claim collisions)
+            # and several GT near one det (no-second-chance FNs)
+            for _ in range(min(8, n_gt)):
+                g = rng.integers(n_gt)
+                for _ in range(rng.integers(1, 4)):
+                    i = rng.integers(n_det)
+                    det.iloc[i, 1:] = gt.iloc[g, 1:] + rng.integers(
+                        -15, 16, 2)
+            for _ in range(min(8, n_det)):
+                i = rng.integers(n_det)
+                for _ in range(rng.integers(1, 4)):
+                    g = rng.integers(n_gt)
+                    gt.iloc[g, 1:] = det.iloc[i, 1:] + rng.integers(
+                        -15, 16, 2)
+        return det, gt
+
+    def test_equality_fuzz(self):
+        rng = np.random.default_rng(3)
+        cases = [(0, 0), (0, 5), (5, 0), (1, 1)]
+        cases += [(int(rng.integers(1, 80)), int(rng.integers(1, 60)))
+                  for _ in range(30)]
+        cases += [(1024, 120), (700, 700)]   # production-cap density
+        for n_det, n_gt in cases:
+            det, gt = self._random_scene(rng, n_det, n_gt)
+            ax = self._stub(det, gt)
+            np.testing.assert_array_equal(
+                ax.compute_TP_FP_FN('confident', 0),
+                ax._compute_TP_FP_FN_loop('confident', 0),
+                err_msg=f'{n_det=} {n_gt=}')
+            fp_v, fn_v = ax.compute_TP_FP_FN('confident', 0,
+                                             return_FP_FN_mask=True)
+            fp_l, fn_l = ax._compute_TP_FP_FN_loop('confident', 0,
+                                                   return_FP_FN_mask=True)
+            np.testing.assert_array_equal(fp_v, fp_l)
+            np.testing.assert_array_equal(fn_v, fn_l)
+
+
+class TestMotMetricsDifferentialOracle:
+    """200+ randomized small scenes scored by two independent
+    implementations (VERDICT r4 next #6): axtrack_tpu's motmetrics_lite
+    (carryover + scipy Hungarian, streaming counters) vs tests/_mot_oracle
+    (brute-force matching + explicit event log + literal metrics.py
+    formulas). Scenes exercise switches, id swaps, gaps, drifts,
+    births/deaths, clutter, and empty sides. Agreement must be
+    column-exact (floats to 1e-12)."""
+
+    INT_COLS = ['num_frames', 'num_unique_objects', 'mostly_tracked',
+                'partially_tracked', 'mostly_lost', 'num_false_positives',
+                'num_misses', 'num_switches', 'num_fragmentations',
+                'num_matches', 'num_detections', 'num_transfer',
+                'num_ascend', 'num_migrate']
+    FLOAT_COLS = ['idf1', 'idp', 'idr', 'recall', 'precision', 'mota',
+                  'motp']
+
+    def _scene(self, rng):
+        T = int(rng.integers(3, 11))
+        n_tracks = int(rng.integers(0, 5))
+        gt_rows, pred_rows = [], []
+        next_pred_id = 100
+        for k in range(n_tracks):
+            birth = int(rng.integers(0, T - 1))
+            death = int(rng.integers(birth + 1, T + 1))
+            x, y = rng.uniform(0, 200, 2)
+            pid = next_pred_id
+            next_pred_id += 1
+            for f in range(birth, death):
+                x += rng.normal(0, 4)
+                y += rng.normal(0, 4)
+                gt_rows.append((f, f'G{k}', x, y))
+                r = rng.random()
+                if r < 0.15:
+                    continue                    # dropout -> MISS
+                if r < 0.25:
+                    pid = next_pred_id          # relabel -> SWITCH/frag
+                    next_pred_id += 1
+                noise = (rng.normal(0, 30, 2) if rng.random() < 0.1
+                         else rng.normal(0, 3, 2))   # occasional far miss
+                pred_rows.append((f, pid, x + noise[0], y + noise[1]))
+        # id swaps between two live preds (TRANSFER territory)
+        if len(pred_rows) > 4 and rng.random() < 0.5:
+            i1, i2 = rng.choice(len(pred_rows), 2, replace=False)
+            a, b = pred_rows[i1], pred_rows[i2]
+            pred_rows[i1] = (a[0], b[1], a[2], a[3])
+            pred_rows[i2] = (b[0], a[1], b[2], b[3])
+        # clutter FPs
+        for _ in range(int(rng.integers(0, 5))):
+            pred_rows.append((int(rng.integers(0, T)), next_pred_id,
+                              *rng.uniform(0, 200, 2)))
+            next_pred_id += 1
+        # duplicate (frame, id) pairs are invalid MOT input; drop them
+        def df(rows):
+            d = pd.DataFrame(rows, columns=['FrameId', 'Id', 'X', 'Y'])
+            d = d.drop_duplicates(['FrameId', 'Id'])
+            return d.set_index(['FrameId', 'Id']).sort_index()
+        return df(gt_rows), df(pred_rows)
+
+    def test_differential_fuzz(self):
+        from _mot_oracle import oracle_mot_metrics
+        rng = np.random.default_rng(11)
+        n_nonempty = 0
+        for it in range(220):
+            gt, pred = self._scene(rng)
+            if len(gt) == 0 and len(pred) == 0:
+                continue
+            n_nonempty += 1
+            got = mot_metrics(gt, pred, distth=400.0)
+            want = oracle_mot_metrics(gt, pred, distth=400.0)
+            assert list(got.index) == list(want.index)
+            for c in self.INT_COLS:
+                assert got[c] == want[c], (it, c, got[c], want[c],
+                                           gt, pred)
+            for c in self.FLOAT_COLS:
+                assert np.isclose(got[c], want[c], rtol=1e-12,
+                                  atol=1e-12), (it, c, got[c], want[c])
+        assert n_nonempty >= 200
