@@ -211,6 +211,44 @@ def main():
         return _trunk_suffix(y, 1)
     steps['3d16'] = p_3d16
 
+    # NCHW variant: stacks built channel-SECOND ([N,5,512,512] — minor
+    # dims are clean 512s, no lane-pad pathology) and the trunk run with
+    # NCHW dimension_numbers end to end
+    def _stacks_nchw(flat_tiles):
+        Xs_all = []
+        for c0 in range(0, n_frames, DET_CHUNK):
+            chunk = centers[c0:c0 + DET_CHUNK]
+            Xs = [jax.lax.dynamic_slice_in_dim(flat_tiles, int(t) - 2, 5,
+                                               axis=0)      # [5,K,ts,ts]
+                  for t in chunk]
+            Xs_all.append(jnp.concatenate(
+                [jnp.moveaxis(X, 1, 0) for X in Xs], axis=0))
+        return Xs_all                                        # [n*K,5,ts,ts]
+
+    def _conv_only_nchw(x):
+        for wbs in trunk_ws:
+            if wbs is None:
+                x = nn.max_pool(x.transpose(0, 2, 3, 1), (2, 2), (2, 2)
+                                ).transpose(0, 3, 1, 2)
+                continue
+            w, b, sc, s = wbs
+            x = jax.lax.conv_general_dilated(
+                x, w, (s, s), [(1, 1), (1, 1)],
+                dimension_numbers=('NCHW', 'HWIO', 'NCHW'))
+            x = nn.leaky_relu(x * sc[None, :, None, None]
+                              + b[None, :, None, None], negative_slope=0.1)
+        return x
+
+    @jax.jit
+    def p_nchw16(fr, m, fi):
+        return [_conv_only_nchw(X)
+                for X in _stacks_nchw(_pre16(fr, m, fi))]
+    if os.environ.get('PROFILE_NCHW'):
+        # WARNING: the NCHW conv program's XLA compile ran >20 min on the
+        # axon platform without completing (2026-08-20) — gated off so the
+        # default run finishes; the hang is itself the measurement
+        steps['nchw16'] = p_nchw16
+
     # the rest of the trunk, fed from a materialized [N,64,64,80] input
     n_total = n_frames * len(flat)
     act = jnp.zeros((n_total, 64, 64, 80), dtype)
