@@ -235,11 +235,20 @@ def run_epoch_chunked(state, dataset, which_dataset, P, plan=None):
         if mesh is not None:
             # frame-sharded over 'data', matching run_chunk's
             # frames_constrain: each chip receives only its Tc/dp frames
-            # (uneven leading dims are fine — device_put and GSPMD pad
-            # the last shard the same way). Resident slices arrive
-            # committed to one device and must be re-placed regardless.
-            u16 = jax.device_put(u16, NamedSharding(
-                mesh, PartitionSpec('data', None, None)))
+            # instead of a full-chunk broadcast that GSPMD would
+            # immediately re-shard. device_put (unlike the in-jit
+            # constraint, which GSPMD pads) REQUIRES divisibility, so
+            # ragged chunks (frame count % dp != 0) fall back to the
+            # replicated put — frames_constrain re-shards them inside
+            # the jit either way; only the transfer optimization is
+            # skipped. Resident slices arrive committed to one device
+            # and must be re-placed regardless.
+            if u16.shape[0] % mesh.shape['data'] == 0:
+                u16 = jax.device_put(u16, NamedSharding(
+                    mesh, PartitionSpec('data', None, None)))
+            else:
+                from ..parallel.mesh import replicate_put
+                u16 = replicate_put(u16, mesh)
         return u16
 
     u16 = fetch_chunk(chunks[0]['lo'], chunks[0]['hi'])
