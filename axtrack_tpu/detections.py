@@ -302,10 +302,22 @@ def _chunk_program(model, tilesize, tc, batch_frames, max_dets):
     @partial(jax.jit, static_argnames=('n_centers',))
     def chunk_step(variables, tiles_chunk, centers_local, tile_yx,
                    conf_thr, nms_dist, n_centers):
+        # cast the whole span to the model's COMPUTE dtype up front: the
+        # conv would cast each frame stack anyway (identical numerics),
+        # but casting first halves the span's in-program relayout copy
+        # and every frame-stack intermediate for bf16/mixed models — the
+        # transient that bounds how many frames fit one program
+        tiles_chunk = tiles_chunk.astype(model.dtype)
         K = tiles_chunk.shape[1]
         grids_all = []
-        for c0 in range(0, n_centers, batch_frames):
-            sub = list(range(c0, min(c0 + batch_frames, n_centers)))
+        # balanced CNN sub-batches: ceil-split n_centers into equal
+        # groups <= batch_frames (greedy batch_frames + remainder left a
+        # ragged last batch — 11+5 instead of 8+8 — that wastes the conv
+        # call's fixed cost on a half-empty batch)
+        n_groups = -(-n_centers // batch_frames)
+        gsize = -(-n_centers // n_groups)
+        for c0 in range(0, n_centers, gsize):
+            sub = list(range(c0, min(c0 + gsize, n_centers)))
             X = jnp.concatenate(
                 [frame_stack(tiles_chunk, centers_local[i])
                  for i in sub], axis=0)
@@ -410,7 +422,7 @@ class AxonDetections:
             return _cnn_program(model)(variables, X)
         return self.model(t, X)
 
-    def detect_dataset(self, cache=None, chunk_frames=16):
+    def detect_dataset(self, cache=None, chunk_frames=None):
         """Run the detector over all frames (reference
         AxonDetections.py:87-139).
 
@@ -418,6 +430,13 @@ class AxonDetections:
         device once and lax.map fuses CNN+decode+NMS per frame inside one
         jitted program (intermediates never leave HBM). Callable oracle
         models fall back to the per-frame loop.
+
+        ``chunk_frames`` (None = auto) is sized so the chunk's f32 tile
+        span fits a ~4 GiB HBM budget — one program for movies up to
+        ~45 frames at reference geometry. The old fixed 16 split a
+        20-frame movie into two programs (two result fetches, a ragged
+        trailing conv batch): measured ~25% of the production detect
+        wall (scripts/profile_production.py).
         """
         self.dataset.construct_tiles(force_no_transformation=True)
         # re-detect: any earlier detect's eager result is now stale
@@ -490,7 +509,10 @@ class AxonDetections:
         tc = ds.temporal_context
         conf_thr = float(self.all_conf_thrs.min())
         K = len(ds._tile_flat_idx)
-        act_bytes = K * self.tilesize ** 2 * (2 * tc + 1) * 4
+        # L0 activation stack per frame in the COMPUTE dtype (the span is
+        # cast up front inside chunk_step)
+        act_bytes = (K * self.tilesize ** 2 * (2 * tc + 1)
+                     * jnp.dtype(model.dtype).itemsize)
         batch_frames = int(min(16, max(1, (4 * 2 ** 30) // max(act_bytes, 1))))
         chunk_step = _chunk_program(model, self.tilesize, tc,
                                     batch_frames=batch_frames,
@@ -498,6 +520,20 @@ class AxonDetections:
 
         out = []
         subset = self.timepoint_subset
+        if chunk_frames is None:
+            # chunk span capped by the program's in-HBM transient (the
+            # relayout copy of the span with K lane-padded to 128 plus
+            # the conv activations — a 24-frame span OOMs a 16 GB chip
+            # at reference geometry, a 20-frame span is measured-safe),
+            # then split EVENLY: ceil-balanced chunks (10+10, each one
+            # full conv batch) instead of the old fixed-16 greedy split
+            # (16+4, conv batches 11+5+4 with two ragged tails)
+            esize = jnp.dtype(model.dtype).itemsize
+            pad_K = -(-K // 128) * 128
+            frame_bytes = pad_K * self.tilesize ** 2 * esize
+            cap = max(1, int((1.4 * 2 ** 30) // frame_bytes) - 2 * tc)
+            n_chunks = -(-len(subset) // cap)
+            chunk_frames = -(-len(subset) // n_chunks)
 
         def dispatch(chunk):
             t_all = [ds.timepoints_indices[t] for t in chunk]
@@ -507,6 +543,10 @@ class AxonDetections:
                 # device from the raw u16 frames (ships 2 bytes/px of
                 # compressible data instead of a host f32 tile stack)
                 tiles_chunk = ds._staged_range_tiles(lo, hi)
+            elif lo <= 0 and hi >= ds.X_tiled.shape[0]:
+                # whole-movie chunk: consume the resident tile stack
+                # directly instead of slicing a full device copy of it
+                tiles_chunk = jnp.asarray(ds.X_tiled)
             else:
                 tiles_chunk = jnp.asarray(ds.X_tiled[lo:hi])
             centers = jnp.asarray([t - lo for t in t_all], jnp.int32)
@@ -1355,20 +1395,31 @@ class AxonDetections:
     def _agg_all_IDed_dets(self):
         """Aggregate frame-wise IDed detections: rows = axonID, columns =
         (frameID, {anchor_x, anchor_y, conf}) (reference
-        AxonDetections.py:825-842)."""
+        AxonDetections.py:825-842).
+
+        One numpy fill + one DataFrame construction. The per-frame
+        ``pd.concat(axis=1)`` this replaces built a MultiIndex per frame
+        and cost 50-90 ms at 20 frames — ~30% of the whole assign_ids
+        host budget (scripts/profile_production.py). Semantics match:
+        row index = sorted union of axon IDs (outer-join order), missing
+        frames NaN, columns sorted by (frameID, detInfo)."""
         if self._IDed_detections is None:
             return None
-        frames = []
-        for t in range(len(self)):
-            det = self._IDed_detections[t]
-            det = det[['anchor_x', 'anchor_y', 'conf']]
-            det.columns = pd.MultiIndex.from_product(
-                [[t], ['anchor_x', 'anchor_y', 'conf']])
-            frames.append(det)
-        IDed_dets_all = pd.concat(frames, axis=1).sort_index(axis=1)
-        IDed_dets_all.index.rename('axonID', inplace=True)
-        IDed_dets_all.columns.rename(('frameID', 'detInfo'), inplace=True)
-        return IDed_dets_all
+        T = len(self)
+        all_ids = sorted(set().union(
+            *[set(d.index) for d in self._IDed_detections]))
+        id_pos = {a: i for i, a in enumerate(all_ids)}
+        data = np.full((len(all_ids), T * 3), np.nan)
+        for t, det in enumerate(self._IDed_detections):
+            rows = [id_pos[a] for a in det.index]
+            data[rows, t * 3 + 0] = det['anchor_x'].values
+            data[rows, t * 3 + 1] = det['anchor_y'].values
+            data[rows, t * 3 + 2] = det['conf'].values
+        cols = pd.MultiIndex.from_product(
+            [range(T), ['anchor_x', 'anchor_y', 'conf']],
+            names=('frameID', 'detInfo'))
+        return pd.DataFrame(data, columns=cols,
+                            index=pd.Index(all_ids, name='axonID'))
 
     # --------------------------------------------------- libmot converters
     def det2libmot_det(self, detection, t, empty_id=False, drop_conf=False,
