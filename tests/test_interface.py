@@ -423,3 +423,45 @@ class TestEagerAssoc:
             for attr in ('_eager_assoc_cap', '_assoc_sweeps'):
                 if hasattr(timelapse, attr):
                     delattr(timelapse, attr)
+
+
+class TestChunkedDetect:
+    """detect_dataset's frame-chunked dispatch (auto-balanced since r5):
+    splitting the movie across multiple chunk programs must be invisible
+    — detections AND downstream association distances identical to the
+    single-chunk run, including a ragged trailing chunk and the eager
+    result concatenated across chunk handles of different widths."""
+
+    def test_multi_chunk_equals_single_chunk(self, deployed,
+                                             inference_fixture,
+                                             tmp_path_factory):
+        from axtrack_tpu.detections import AxonDetections
+        data_dir, fx = inference_fixture
+        dest = str(tmp_path_factory.mktemp('chunked'))
+        parameters, model, stnd_scaler = axtrack_tpu.setup_inference(
+            dest, deployed_dir=deployed)
+        timelapse = axtrack_tpu.prepare_input_data(
+            'movie.tif', parameters, dest, data_dir, stnd_scaler,
+            mask_fname='movie_mask.npy', use_cached_datasets=None,
+            check_preproc=False, input_metadata={'name': 'movie'})
+
+        ax1 = AxonDetections(model, timelapse, parameters, None)
+        ax1.detect_dataset()                   # auto: one chunk (4 frames)
+        d1 = ax1._compute_detections_astar_dists()
+
+        ax2 = AxonDetections(model, timelapse, parameters, None)
+        ax2.detect_dataset(chunk_frames=3)     # forced 3+1 ragged split
+        d2 = ax2._compute_detections_astar_dists()
+
+        assert len(ax1._detections) == len(ax2._detections)
+        for t, (a, b) in enumerate(zip(ax1._detections, ax2._detections)):
+            assert len(a) == len(b), t
+            np.testing.assert_array_equal(a['anchor_x'].values,
+                                          b['anchor_x'].values)
+            np.testing.assert_array_equal(a['anchor_y'].values,
+                                          b['anchor_y'].values)
+            np.testing.assert_allclose(a['conf'].values, b['conf'].values,
+                                       atol=1e-5)
+        assert set(d1) == set(d2)
+        for k in d1:
+            np.testing.assert_allclose(d1[k], d2[k], atol=1e-4)
