@@ -7,12 +7,12 @@ tracking). Public API mirrors the reference package facade
 constants, and the A* path helper.
 """
 from .interface import (setup_inference, prepare_input_data, inference,
-                        visualize_inference, deploy_run)
+                        inference_many, visualize_inference, deploy_run)
 from .config import (PKG_DIR, DEPLOYED_MODEL_DIR, OUTPUT_DIR,
                      TRAINING_DATA_DIR, DEFAULT_DEVICE, VIDEO_ENCODER)
 from .utils.paths import _compute_astar_path
 
 __all__ = ['setup_inference', 'prepare_input_data', 'inference',
-           'visualize_inference', 'deploy_run', 'PKG_DIR',
+           'inference_many', 'visualize_inference', 'deploy_run', 'PKG_DIR',
            'DEPLOYED_MODEL_DIR', 'OUTPUT_DIR', 'TRAINING_DATA_DIR',
            'DEFAULT_DEVICE', 'VIDEO_ENCODER', '_compute_astar_path']

@@ -465,3 +465,55 @@ class TestChunkedDetect:
         assert set(d1) == set(d2)
         for k in d1:
             np.testing.assert_allclose(d1[k], d2[k], atol=1e-4)
+
+
+class TestInferenceMany:
+    def test_pipelined_equals_sequential(self, deployed, inference_fixture,
+                                         tmp_path_factory):
+        """inference_many (overlapped serving, new capability) returns
+        byte-identical results to per-movie inference calls — only the
+        dispatch order differs."""
+        data_dir, fx = inference_fixture
+        movies = []
+        for i, seed in enumerate((9, 21)):
+            d = str(tmp_path_factory.mktemp(f'many_src{i}'))
+            if seed == 9:
+                # reuse the module fixture movie for the first entry
+                mdir, name = data_dir, 'movie'
+            else:
+                from axtrack_tpu.data.synthetic import write_fixture
+                write_fixture(d, name='movie2', T=8, H=256, W=512,
+                              n_axons=4, seed=seed, n_channels=4)
+                mdir, name = d, 'movie2'
+            movies.append((mdir, name))
+
+        dest_seq = str(tmp_path_factory.mktemp('many_seq'))
+        dest_pipe = str(tmp_path_factory.mktemp('many_pipe'))
+        parameters, model, stnd_scaler = axtrack_tpu.setup_inference(
+            dest_seq, deployed_dir=deployed)
+
+        def prep(dest):
+            tls = []
+            for mdir, name in movies:
+                tls.append(axtrack_tpu.prepare_input_data(
+                    f'{name}.tif', parameters, dest, mdir, stnd_scaler,
+                    mask_fname=f'{name}_mask.npy', use_cached_datasets=None,
+                    check_preproc=False, input_metadata={'name': name}))
+            return tls
+
+        seq = [axtrack_tpu.inference(
+                   tl, model, f'{dest_seq}/m{i}', parameters,
+                   detections_cache=None, astar_paths_cache=None,
+                   assigedIDs_cache=None)
+               for i, tl in enumerate(prep(dest_seq))]
+        pipe = axtrack_tpu.inference_many(
+            prep(dest_pipe), model,
+            [f'{dest_pipe}/m{i}' for i in range(len(movies))], parameters,
+            detections_cache=None, astar_paths_cache=None,
+            assigedIDs_cache=None)
+
+        assert len(seq) == len(pipe) == 2
+        for a, b in zip(seq, pipe):
+            np.testing.assert_array_equal(
+                a.IDed_dets_all.fillna(-1).values,
+                b.IDed_dets_all.fillna(-1).values)
