@@ -457,6 +457,28 @@ class Timelapse:
             setattr(self, attr, dev)
         return dev
 
+    def release_device_arrays(self):
+        """Free this movie's device residents — the `_device_movie`
+        caches (`_X_dev`, motion sequences), the tile stack, and the
+        association's window-padded mask. ~5 GB/movie at reference
+        geometry; serving many movies (`interface.inference_many`) would
+        otherwise accumulate them until HBM exhausts. Everything is
+        rebuilt on demand (the movie itself lives on host in ``self.X``),
+        so calling this is always safe — the next ``construct_tiles`` or
+        ``assign_ids`` just pays the one-time ship again."""
+        # drop REFERENCES only (no explicit .delete()): an in-flight
+        # eager-association program may still consume the padded mask —
+        # JAX's refcounting frees each buffer as soon as the last
+        # execution referencing it completes
+        for attr in ('_X_dev', '_pmotion_dev', '_nmotion_dev',
+                     '_padded_mask_dev'):
+            if getattr(self, attr, None) is not None:
+                setattr(self, attr, None)
+        if self.X_tiled is not None and not isinstance(self.X_tiled,
+                                                       np.ndarray):
+            self.X_tiled = None
+            self._tiles_clean = False
+
     # above this movie size the whole-movie device path would press HBM
     # (movie + transformed copy + tile stack in flight); chunked path below
     _DEVICE_MOVIE_BUDGET = int(os.environ.get(

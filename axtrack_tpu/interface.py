@@ -211,9 +211,14 @@ def inference_many(timelapses, model, dest_dirs, parameters, depth=None,
       timelapses: list of prepared ``Timelapse`` datasets.
       dest_dirs: one dest dir per movie (or one string used for all, with
         the movie name distinguishing the cache files).
-      depth: movies in flight (None = auto from the association working
-        set: each queued movie holds its resident chamfer windows,
-        ``(T-1)*cap*window^2*4`` bytes, against a ~7 GB budget).
+      depth: movies in flight (None = auto from each movie's true device
+        residency: chamfer windows ``(T-1)*cap*window^2*4`` bytes PLUS —
+        because nothing is fetched until ``depth`` movies are queued —
+        the movie's tile stack and device-movie cache on the non-staged
+        path, against a ~9 GB budget). Full-size f32 movies allow ~2 in
+        flight; movies loaded in STAGED u16 mode (set
+        ``AXTRACK_DEVICE_MOVIE_BUDGET`` below ``2*movie_bytes`` before
+        constructing the Timelapse) are ~4x lighter and overlap deeper.
       *_cache: tri-state stage caches, as in ``inference``, applied per
         movie.
 
@@ -224,19 +229,31 @@ def inference_many(timelapses, model, dest_dirs, parameters, depth=None,
         dest_dirs = [dest_dirs] * len(timelapses)
 
     if depth is None:
-        per_movie = max(
-            (max(tl.sizet - 1, 1)
-             * int(getattr(tl, '_eager_assoc_cap', 64))
-             * AxonDetections(model, tl, parameters, None)
-             ._assoc_window() ** 2 * 4)
-            for tl in timelapses) if timelapses else 1
-        depth = max(1, min(len(timelapses), int(7e9 // per_movie)))
+        per = [1]
+        for tl in timelapses:
+            window = AxonDetections(model, tl, parameters,
+                                    None)._assoc_window()
+            eager = (max(tl.sizet - 1, 1)
+                     * int(getattr(tl, '_eager_assoc_cap', 64))
+                     * window ** 2 * 4)
+            # non-staged movies hold the f32 device movie + tile stack
+            # until their queued programs complete (release_device_arrays
+            # drops the refs, but the buffers live while in flight)
+            movie = (tl.X.nbytes if getattr(tl, '_u16_staged', False)
+                     else 2 * tl.X.nbytes)
+            per.append(eager + movie)
+        depth = max(1, min(len(timelapses), int(9e9 // max(per))))
 
     results = []
     queue = deque()
     for tl, dest in zip(timelapses, dest_dirs):
         ax = AxonDetections(model, tl, parameters, f'{dest}/axon_dets')
         ax.detect_dataset(cache=detections_cache)   # + eager association
+        # the movie's tile stack + device-movie cache (~5 GB at
+        # reference geometry) are no longer needed — only the eager
+        # association buffers are; without this, a queue of movies
+        # exhausts HBM (buffers free as in-flight programs finish)
+        tl.release_device_arrays()
         queue.append(ax)
         if len(queue) >= depth:
             a = queue.popleft()

@@ -93,6 +93,52 @@ def main():
                    if ax.IDed_dets_all is not None else 0)
         return t_detect, t_assign, ntracks
 
+    # BENCH_MANY=N: serve N movies through the public inference_many
+    # surface (overlapped dispatch + per-movie device-array release) and
+    # report steady-state fps alongside the sequential number
+    n_many = int(os.environ.get('BENCH_MANY', 0))
+    if n_many > 1:
+        import axtrack_tpu as axtrack
+
+        def make_tl(i):
+            return Timelapse(
+                imseq_path=os.path.join(fxdir, 'movie.tif'),
+                labels_csv=None,
+                mask_path=os.path.join(fxdir, 'movie_mask.npy'),
+                timepoints=None, offset=None, log_correct=True,
+                standardize_framewise=False, standardize=scaler,
+                name=f'prod_many{i}', use_transforms=[], contrast_llim=55,
+                plot=False, pad=None, Sy=P['SY'], Sx=P['SX'],
+                tilesize=P['TILESIZE'], cache=None, from_cache=None,
+                temporal_context=P['TEMPORAL_CONTEXT'])
+
+        tls = [make_tl(i) for i in range(n_many)]
+        dests = [tempfile.mkdtemp(prefix=f'many{i}_') for i in range(n_many)]
+        kw = dict(detections_cache=None, astar_paths_cache=None,
+                  assigedIDs_cache=None)
+        axtrack.inference_many(tls[:1], model_tuple := (model, variables),
+                               dests[:1], P, **kw)      # compile pass
+        t0 = time.perf_counter()
+        outs = axtrack.inference_many(tls, model_tuple, dests, P, **kw)
+        el_many = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for tl, dest in zip(tls, dests):
+            axtrack.inference(tl, model_tuple, dest, P, **kw)
+            # the fair baseline releases per movie like inference_many
+            # does — WITHOUT this the sequential loop itself OOMs on the
+            # 2nd full-size movie (accumulated tile stacks), which is
+            # the failure mode inference_many's lifecycle prevents
+            tl.release_device_arrays()
+        el_seq = time.perf_counter() - t0
+        n_fr = sum(len(tl.timepoints) for tl in tls)
+        print(json.dumps({
+            'metric': 'public_serving_frames_per_sec',
+            'value': round(n_fr / el_many, 2),
+            'sequential_fps': round(n_fr / el_seq, 2),
+            'n_movies': n_many, 'n_frames': n_fr,
+        }))
+        return
+
     print('# pass 1 (compile)...', file=sys.stderr)
     run_once()
     best = (np.inf, np.inf, 0)
